@@ -1,0 +1,135 @@
+"""Typed runtime configuration.
+
+Replaces the reference's compile-time header (configuration.h:5-20) and the
+hyperparameters hardcoded across its entry points (pretraining.cpp:212-271,
+training.cpp:68-136, compute_rewards.cuh:5-17) with one dataclass that can be
+overridden from JSON files or CLI flags. Same option surface, now runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import pathlib
+from typing import Any
+
+
+class EdgeTarget(enum.Enum):
+    """Classical segmentation used as pretraining target (configuration.h:13-20)."""
+
+    SLIC = "slic"
+    CANNY = "canny"
+    GRAPH = "graph"
+    WATERSHED = "watershed"
+
+
+@dataclasses.dataclass
+class RewardConfig:
+    """PNG-size-estimator reward hyperparameters (compute_rewards.cuh:9-16)."""
+
+    min_pixels_per_segment: int = 1
+    l_min: int = 4
+    beta: float = 0.012167
+    b_match_token: float = 18.0
+    gamma: float = 0.1
+    overhead_base: float = 9.308622
+    adaptive_filter: bool = True
+    lambda_single_segment: float = 0.5
+    # TPU-specific: static cap on distinct segments per image for the
+    # vectorized estimator (reference loops over dynamic K instead,
+    # compute_rewards.cu:159-180). Extra segments beyond the cap fall back to
+    # a literal-only size bound.
+    max_segments: int = 64
+
+
+@dataclasses.dataclass
+class MulticutConfig:
+    """Grid multicut solver settings (replaces RAMA's multicut_solver_options)."""
+
+    max_rounds: int = 64          # outer contraction rounds (fixpoint upper bound)
+    pointer_jump_steps: int = 17  # >= ceil(log2(H*W)) for 256x256
+    greedy_chain: bool = True     # hook every region to its best partner (RAMA-style
+    #                               parallel contraction); False = mutual-best matching only
+
+
+@dataclasses.dataclass
+class PretrainConfig:
+    """Supervised phase (pretraining.cpp:212-271)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    batch_size: int = 8
+    epochs: int = 10
+    pos_weight: float = 0.1       # connect-class weight; <1 emphasizes cuts (pretraining.cpp:264-267)
+    w_sign: float = 1.0
+    w_sigma: float = 0.01
+    sigma_min: float = 0.1
+    sigma_max: float = 0.9
+    val_every: int = 100
+    max_train_images: int = 100_000
+    max_val_images: int = 128
+
+
+@dataclasses.dataclass
+class RLConfig:
+    """Online REINFORCE phase (training.cpp:68-233)."""
+
+    lr: float = 1e-4
+    batch_size: int = 8
+    epochs: int = 50
+    mu_scale: float = 2.0         # mu = 2*tanh(0.5*raw)   (training.cpp:154-157)
+    sigma_min: float = 0.1
+    sigma_max: float = 0.9
+    entropy_coef: float = 1e-4
+    baseline_momentum: float = 0.99
+    grad_clip: float = 1.0
+    eval_every: int = 100
+    max_train_images: int = 1_000_000
+    max_val_images: int = 64
+
+
+@dataclasses.dataclass
+class Config:
+    """Top-level framework configuration."""
+
+    dataset_dir: str = "dataset/CLS-LOC/train"
+    val_dataset_dir: str = "dataset/CLS-LOC/val"
+    test_dataset_dir: str = "dataset/CLS-LOC/test"
+    results_dir: str = "./results"
+    cache_dir: str = "./.cache/imagecompression"
+    image_format: str = "png"
+    compression_level: int = 4    # PNG/zlib level (configuration.h:11)
+    edge_target: EdgeTarget = EdgeTarget.GRAPH
+    image_size: int = 256         # training resolution (training.cpp:85-86)
+
+    reward: RewardConfig = dataclasses.field(default_factory=RewardConfig)
+    multicut: MulticutConfig = dataclasses.field(default_factory=MulticutConfig)
+    pretrain: PretrainConfig = dataclasses.field(default_factory=PretrainConfig)
+    rl: RLConfig = dataclasses.field(default_factory=RLConfig)
+
+    @staticmethod
+    def from_json(path: str | pathlib.Path) -> "Config":
+        with open(path) as f:
+            raw = json.load(f)
+        return Config.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict[str, Any]) -> "Config":
+        cfg = Config()
+        for key, value in raw.items():
+            if not hasattr(cfg, key):
+                raise KeyError(f"Unknown config key: {key}")
+            current = getattr(cfg, key)
+            if dataclasses.is_dataclass(current) and isinstance(value, dict):
+                setattr(cfg, key, dataclasses.replace(current, **value))
+            elif key == "edge_target":
+                setattr(cfg, key, EdgeTarget(value))
+            else:
+                setattr(cfg, key, value)
+        return cfg
+
+    def to_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["edge_target"] = self.edge_target.value
+        return d

@@ -1,0 +1,119 @@
+"""Image load/save and recursive dataset scanning.
+
+Equivalent surface to the reference's L2 layer (image_loader.cpp:14-43,
+image_writer.cpp:4-8) without OpenCV: PIL decodes/encodes PNG on the host.
+Arrays are RGB(A) uint8 HWC (the reference holds BGR(A) cv::Mats in memory but
+PNG files themselves are RGB(A); channel order on disk is identical).
+
+A native C++ zlib PNG codec (native/pngio.cpp) is used when built — it is the
+throughput path for slice writing; PIL is the always-available fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+from PIL import Image
+
+
+def find_image_files_recursively(root: str | pathlib.Path,
+                                 extension: str = "png") -> list[pathlib.Path]:
+    """Recursive extension-filtered scan (image_loader.cpp:14-32).
+
+    Matching is case-insensitive on the suffix; results sorted for
+    determinism (the reference relies on filesystem order).
+    """
+    suffix = "." + extension.lower().lstrip(".")
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            if name.lower().endswith(suffix):
+                out.append(pathlib.Path(dirpath) / name)
+    out.sort()
+    return out
+
+
+def load_image(path: str | pathlib.Path) -> np.ndarray:
+    """Decode an image to uint8 HWC, keeping its channel count.
+
+    Reference uses cv::imread(IMREAD_UNCHANGED) (image_loader.cpp:34-43):
+    grayscale stays 1-channel, RGB 3, RGBA 4.
+    """
+    with Image.open(path) as im:
+        if im.mode in ("RGB", "RGBA", "L"):
+            arr = np.asarray(im)
+        elif im.mode == "LA":
+            arr = np.asarray(im.convert("RGBA"))
+        elif im.mode in ("P", "1"):
+            converted = im.convert("RGBA" if "transparency" in im.info else "RGB")
+            arr = np.asarray(converted)
+        elif im.mode == "I;16":
+            arr = (np.asarray(im) // 257).astype(np.uint8)
+        else:
+            arr = np.asarray(im.convert("RGB"))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return np.ascontiguousarray(arr)
+
+
+def write_image(path: str | pathlib.Path, image_hwc_u8: np.ndarray,
+                compression_level: int = 4) -> bool:
+    """Encode PNG at the configured zlib level (image_writer.cpp:4-8 writes
+    with IMWRITE_PNG_COMPRESSION=4). Forces a .png suffix like the reference."""
+    path = pathlib.Path(path).with_suffix(".png")
+    arr = np.ascontiguousarray(image_hwc_u8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    try:
+        Image.fromarray(arr).save(path, format="PNG",
+                                  compress_level=compression_level)
+        return True
+    except OSError:
+        return False
+
+
+def to_float01_rgb(image_hwc_u8: np.ndarray) -> np.ndarray:
+    """uint8/uint16 HWC (1/3/4ch) -> float32 RGB in [0, 1].
+
+    Mirrors to_f32c3_01_or_throw (compress.cpp:10-35, EdgeDataset.h:58-83):
+    grayscale replicated to 3 channels, alpha dropped, 8-bit scaled by 1/255
+    (16-bit by 1/65535).
+    """
+    arr = image_hwc_u8
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    c = arr.shape[2]
+    if c == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif c == 4:
+        arr = arr[:, :, :3]
+    elif c != 3:
+        raise ValueError(f"unsupported channel count: {c}")
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if arr.dtype == np.uint16:
+        return arr.astype(np.float32) / 65535.0
+    if arr.dtype == np.float32:
+        return arr
+    raise ValueError(f"unsupported dtype: {arr.dtype}")
+
+
+def ensure_rgba(image_hwc_u8: np.ndarray) -> np.ndarray:
+    """1/3/4-channel uint8 -> RGBA with opaque alpha (reassemble.cpp:15-28)."""
+    arr = image_hwc_u8
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c == 4:
+        return arr
+    out = np.empty((h, w, 4), np.uint8)
+    if c == 1:
+        out[:, :, :3] = arr
+    elif c == 3:
+        out[:, :, :3] = arr
+    else:
+        raise ValueError(f"unsupported channel count: {c}")
+    out[:, :, 3] = 255
+    return out
