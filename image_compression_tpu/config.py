@@ -48,9 +48,8 @@ class MulticutConfig:
     """Grid multicut solver settings (replaces RAMA's multicut_solver_options)."""
 
     max_rounds: int = 64          # outer contraction rounds (fixpoint upper bound)
-    pointer_jump_steps: int = 17  # >= ceil(log2(H*W)) for 256x256
-    greedy_chain: bool = True     # hook every region to its best partner (RAMA-style
-    #                               parallel contraction); False = mutual-best matching only
+    mode: str = "random_mate"     # chain | mutual | random_mate | random_pair
+    icm_sweeps: int = 8           # local-move refinement sweeps after contraction
 
 
 @dataclasses.dataclass

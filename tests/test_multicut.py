@@ -1,0 +1,140 @@
+"""Multicut solver: trivial-cost invariants, exact recovery of planted
+partitions, near-optimality vs brute force on tiny grids, batching
+(SURVEY.md section 4(e))."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_compression_tpu.ops.multicut import (
+    brute_force_multicut, multicut_grid, multicut_grid_batched,
+    multicut_objective)
+from image_compression_tpu.utils.random_partition import (
+    partition_to_edge_signs, random_rect_partition)
+
+
+def n_clusters(labels):
+    return len(np.unique(np.asarray(labels)))
+
+
+def test_all_positive_one_cluster():
+    costs = jnp.ones((8, 8, 2))
+    labels = multicut_grid(costs)
+    assert n_clusters(labels) == 1
+
+
+def test_all_negative_singletons():
+    costs = -jnp.ones((8, 8, 2))
+    labels = multicut_grid(costs)
+    assert n_clusters(labels) == 64
+
+
+def test_all_zero_no_merges():
+    """Zero cost is not attractive (RAMA contracts strictly positive edges)."""
+    costs = jnp.zeros((4, 4, 2))
+    assert n_clusters(multicut_grid(costs)) == 16
+
+
+def test_recovers_planted_rectangles():
+    gt = random_rect_partition(32, 32, min_h=4, min_w=4, min_rect_count=6,
+                               seed=11)
+    signs = partition_to_edge_signs(gt).astype(np.float32)
+    labels = np.asarray(multicut_grid(jnp.asarray(signs)))
+    # same partition: labels must be a relabeling of gt
+    pairs = set(zip(gt.ravel().tolist(), labels.ravel().tolist()))
+    assert len(pairs) == n_clusters(gt) == n_clusters(labels)
+
+
+@pytest.mark.parametrize("mode", ["chain", "mutual", "random_pair"])
+def test_recovers_planted_rectangles_all_modes(mode):
+    gt = random_rect_partition(16, 16, min_h=4, min_w=4, min_rect_count=4,
+                               seed=3)
+    signs = partition_to_edge_signs(gt).astype(np.float32)
+    labels = np.asarray(multicut_grid(jnp.asarray(signs), mode=mode,
+                                      max_rounds=256))
+    pairs = set(zip(gt.ravel().tolist(), labels.ravel().tolist()))
+    assert len(pairs) == n_clusters(gt) == n_clusters(labels)
+
+
+def test_clusters_are_connected():
+    """Contraction only merges adjacent regions => connected clusters."""
+    rng = np.random.default_rng(5)
+    costs = rng.normal(size=(12, 12, 2)).astype(np.float32)
+    labels = np.asarray(multicut_grid(jnp.asarray(costs)))
+    from scipy import ndimage
+    for lab in np.unique(labels):
+        mask = labels == lab
+        _, num = ndimage.label(mask)
+        assert num == 1, f"cluster {lab} is disconnected"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_near_optimal_vs_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    costs = rng.normal(size=(3, 3, 2)).astype(np.float32)
+    costs[:, -1, 0] = 0.0
+    costs[-1, :, 1] = 0.0
+    labels = np.asarray(multicut_grid(jnp.asarray(costs)))
+    ours = multicut_objective(costs, labels)
+    _opt_labels, opt = brute_force_multicut(costs)
+    baseline = max(multicut_objective(costs, np.zeros((3, 3), int)),  # 1 cluster
+                   0.0)                                               # singletons
+    assert ours >= baseline - 1e-5
+    assert ours <= opt + 1e-5  # sanity: never beat the exact optimum
+    gaps.append((opt - ours, costs))
+
+
+gaps: list = []
+
+
+def test_near_optimal_on_average():
+    """Aggregate check over the seeds above: randomized parallel GAEC + ICM
+    stays within 5% of optimal on average (individual adversarial instances
+    may gap higher; so does sequential GAEC)."""
+    assert len(gaps) == 6, "runs after the parametrized seeds"
+    total_gap = sum(g for g, _ in gaps)
+    pos_total = sum(
+        float(np.clip(c, 0, None)[:, :-1, 0].sum() +
+              np.clip(c, 0, None)[:-1, :, 1].sum()) for _, c in gaps)
+    assert total_gap <= 0.05 * pos_total, (total_gap, pos_total)
+
+
+def test_batched_matches_single():
+    rng = np.random.default_rng(9)
+    costs = rng.normal(size=(3, 10, 10, 2)).astype(np.float32)
+    batched = np.asarray(multicut_grid_batched(jnp.asarray(costs)))
+    for i in range(3):
+        single = np.asarray(multicut_grid(jnp.asarray(costs[i])))
+        np.testing.assert_array_equal(batched[i], single)
+
+
+def test_labels_are_min_pixel_index():
+    costs = jnp.ones((4, 4, 2))
+    labels = np.asarray(multicut_grid(costs))
+    assert labels.min() == labels.max() == 0
+
+
+def test_half_split():
+    costs = np.ones((6, 6, 2), np.float32)
+    costs[2, :, 1] = -5.0  # strong repulsion between rows 2 and 3
+    labels = np.asarray(multicut_grid(jnp.asarray(costs)))
+    assert n_clusters(labels) == 2
+    assert (labels[:3] == labels[0, 0]).all()
+    assert (labels[3:] == labels[3, 0]).all()
+
+
+def test_aggregation_beats_local_greedy():
+    """A pair of regions tied by one weak attraction but strong total
+    repulsion must NOT merge — requires exact cost re-accumulation, the
+    property that distinguishes GAEC/RAMA from naive positive-edge CC."""
+    costs = np.zeros((2, 2, 2), np.float32)
+    # nodes: 0 1 / 2 3. Edges: (0,1)=+1 -> merge; (2,3)=+1 -> merge.
+    costs[0, 0, 0] = 1.0
+    costs[1, 0, 0] = 1.0
+    # vertical edges between the two 2-node regions: +0.5 and -2 => total -1.5
+    costs[0, 0, 1] = 0.5
+    costs[0, 1, 1] = -2.0
+    labels = np.asarray(multicut_grid(jnp.asarray(costs)))
+    assert labels[0, 0] == labels[0, 1]
+    assert labels[1, 0] == labels[1, 1]
+    assert labels[0, 0] != labels[1, 0], "merged across net-repulsive boundary"
