@@ -1,0 +1,112 @@
+"""ctypes bindings for the native host runtime (native/pngio.cpp).
+
+Provides the throughput path for PNG encode/decode and parallel slice
+writing; every entry point has a pure-Python fallback (io/image_io.py,
+io/slicer.py), so the framework works without the native build. Build with
+`make -C native`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+
+import numpy as np
+
+_LIB_PATH = (pathlib.Path(__file__).resolve().parent.parent.parent
+             / "native" / "libpngio.so")
+_lib = None
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.pngio_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t)]
+    lib.pngio_encode.restype = ctypes.c_int
+    lib.pngio_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.pngio_decode.restype = ctypes.c_int
+    lib.pngio_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.pngio_write_slices.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int]
+    lib.pngio_write_slices.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def encode_png(image_hwc_u8: np.ndarray, level: int = 4) -> bytes:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    arr = np.ascontiguousarray(image_hwc_u8, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.pngio_encode(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c, level,
+        ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        raise RuntimeError(f"pngio_encode failed: {rc}")
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.pngio_free(out)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.pngio_decode(buf, len(data), None, ctypes.byref(h),
+                          ctypes.byref(w), ctypes.byref(c))
+    if rc != 0:
+        raise ValueError(f"pngio_decode failed (unsupported PNG): {rc}")
+    out = np.empty((h.value, w.value, c.value), np.uint8)
+    rc = lib.pngio_decode(buf, len(data),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                          ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+    if rc != 0:
+        raise ValueError(f"pngio_decode failed: {rc}")
+    return out
+
+
+def write_slices_native(image_rgba_u8: np.ndarray, labels_hw: np.ndarray,
+                        out_dir: str, level: int = 4,
+                        n_threads: int = 0) -> int:
+    """Parallel native slicer: returns number of slices written."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    img = np.ascontiguousarray(image_rgba_u8, np.uint8)
+    labels = np.ascontiguousarray(labels_hw, np.int32)
+    h, w = labels.shape
+    assert img.shape == (h, w, 4), img.shape
+    rc = lib.pngio_write_slices(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h, w, str(out_dir).encode(), level, n_threads)
+    if rc < 0:
+        raise RuntimeError("pngio_write_slices failed")
+    return rc

@@ -60,11 +60,13 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
                  output_path: str | pathlib.Path,
                  file_directory_name: str | pathlib.Path,
                  image_format: str = "png", compression_level: int = 4,
-                 max_workers: int | None = None) -> bool:
+                 max_workers: int | None = None,
+                 use_native: bool | None = None) -> bool:
     """Write one PNG per segment plus metadata.bin (image_slicer.cpp:81-130).
 
     Files land in output_path/file_directory_name/slice_<label>.<ext>;
-    metadata.bin is byte-compatible with the reference.
+    metadata.bin is byte-compatible with the reference. Uses the native C++
+    slicer+encoder (native/pngio.cpp) when built, unless use_native=False.
     """
     out_dir = pathlib.Path(output_path) / file_directory_name
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -72,6 +74,18 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
     image_rgba = ensure_rgba(np.asarray(image_hwc_u8))
     labels_hw = np.asarray(labels_hw)
     h_img, w_img = labels_hw.shape
+
+    if use_native is not False and image_format == "png":
+        from image_compression_tpu.io import native
+        if native.available() and labels_hw.min() >= 0 and \
+                labels_hw.max() < np.iinfo(np.int32).max:
+            n = native.write_slices_native(image_rgba, labels_hw, out_dir,
+                                           compression_level,
+                                           max_workers or 0)
+            return n >= 0
+        if use_native:
+            raise RuntimeError("native slicer requested but unavailable")
+
     boxes = compute_bounding_boxes(labels_hw)
 
     def _write_one(label: int) -> tuple[bool, SliceMetadata]:

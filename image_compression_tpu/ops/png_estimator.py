@@ -1,0 +1,207 @@
+"""On-device PNG/DEFLATE size estimator for masked segments.
+
+Vectorized XLA re-design of the reference CUDA estimator
+(png_size_estimator.cu:4-591): an analytic, encode-free model of the PNG byte
+size of one segment rendered into its bounding box with everything outside
+the segment zeroed. Per segment:
+
+  1. per-row costs of the 5 PNG filters (None/Sub/Up/Avg/Paeth) with
+     segment-masked neighbors and bbox-relative boundaries
+     (compute_filter_costs_per_row_masked_kernel, :60-182);
+  2. min-cost filter per row (:187-205), residual image (:210-275);
+  3. per-channel 256-bin histograms over the bbox -> mean entropy H-bar
+     (:281-328, :365-392);
+  4. run-length match proxy on the residual stream in bbox row-major order
+     (:397-463);
+  5. S = overhead_base + h + N * b_data / 8,  b_data = (1-f)(H-bar + beta)
+     + f*(b_match_token/L-bar + gamma)  (:10-43).
+
+The whole batch of segments is computed at once (vmap over the k_max segment
+slots); the reference instead launches 8 kernels per segment in a host loop
+with a bbox readback per image (compute_rewards.cu:152-180) — the exact
+pattern this rebuild vectorizes away.
+
+Fidelity notes (documented divergences, both strict improvements):
+  * run statistics are exact over the stream; the reference splits the stream
+    into 65536 GPU-thread chunks (run_length_stats_kernel:416-424), which
+    silently zeroes match statistics for any segment smaller than ~256k
+    elements;
+  * arithmetic in float32 (reference: float64); entropy sums over 256 bins
+    are insensitive at this precision.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _as_int8_abs(r_u8: jnp.ndarray) -> jnp.ndarray:
+    """|int8 reinterpretation| of a uint8 residual (the filter-cost heuristic,
+    png_size_estimator.cu:120-151)."""
+    return jnp.abs(jnp.where(r_u8 >= 128, r_u8 - 256, r_u8))
+
+
+def _paeth(a, b, c):
+    """PNG Paeth predictor (png_size_estimator.cu:47-55)."""
+    p = a + b - c
+    pa = jnp.abs(p - a)
+    pb = jnp.abs(p - b)
+    pc = jnp.abs(p - c)
+    return jnp.where((pa <= pb) & (pa <= pc), a, jnp.where(pb <= pc, b, c))
+
+
+def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
+                      bbox, count, seg_valid, *, min_pixels: int, l_min: int,
+                      beta: float, b_match_token: float, gamma: float,
+                      overhead_base: float, adaptive_filter: bool):
+    """Estimated PNG size of segment k. img_u8 [H, W, C] int32 (0..255),
+    inverse [H, W] compact labels."""
+    height, width, channels = img_u8.shape
+    x0, y0, x1, y1 = bbox[0], bbox[1], bbox[2], bbox[3]
+    w = x1 - x0 + 1
+    h = y1 - y0 + 1
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    in_bbox = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+
+    in_seg = inverse == k
+    cur = jnp.where(in_seg[..., None], img_u8, 0)
+
+    def shifted(arr, dy, dx, fill=0):
+        pad = ((max(0, dy), max(0, -dy)), (max(0, dx), max(0, -dx)))
+        if arr.ndim == 3:
+            pad = pad + ((0, 0),)
+        out = jnp.pad(arr, pad, constant_values=fill)
+        sl_y = slice(max(0, -dy), max(0, -dy) + height)
+        sl_x = slice(max(0, -dx), max(0, -dx) + width)
+        return out[sl_y, sl_x]
+
+    # masked neighbors with bbox-relative existence (x > x0 etc.,
+    # compute_filter_costs_per_row_masked_kernel:98-117)
+    has_left = xs > x0
+    has_up = ys > y0
+    left = jnp.where((has_left & shifted(in_seg, 0, 1))[..., None],
+                     shifted(img_u8, 0, 1), 0)
+    up = jnp.where((has_up & shifted(in_seg, 1, 0))[..., None],
+                   shifted(img_u8, 1, 0), 0)
+    upleft = jnp.where((has_left & has_up & shifted(in_seg, 1, 1))[..., None],
+                       shifted(img_u8, 1, 1), 0)
+
+    def residual(pred):
+        return jnp.mod(cur - pred, 256)
+
+    res5 = jnp.stack([
+        residual(jnp.zeros_like(cur)),        # None
+        residual(left),                       # Sub
+        residual(up),                         # Up
+        residual((left + up) // 2),           # Avg
+        residual(_paeth(left, up, upleft)),   # Paeth
+    ])  # [5, H, W, C]
+
+    if adaptive_filter:
+        costs = jnp.sum(_as_int8_abs(res5) * in_bbox[None, ..., None],
+                        axis=(2, 3))          # [5, H]
+        filter_id = jnp.argmin(costs, axis=0)  # [H]; argmin takes lowest index
+    else:
+        filter_id = jnp.full((height,), 4, jnp.int32)
+
+    idx = jnp.broadcast_to(filter_id[None, :, None, None],
+                           (1,) + res5.shape[1:])
+    res = jnp.take_along_axis(res5, idx, axis=0)[0]  # [H, W, C]
+
+    # --- entropy from per-channel histograms over the bbox ----------------
+    chan = jax.lax.broadcasted_iota(jnp.int32, res.shape, 2)
+    hist_key = chan * 256 + res
+    hist = jax.ops.segment_sum(
+        jnp.broadcast_to(in_bbox[..., None], res.shape).reshape(-1)
+        .astype(jnp.float32),
+        hist_key.reshape(-1), num_segments=channels * 256)
+    hist = hist.reshape(channels, 256)
+    n_per_channel = (w * h).astype(jnp.float32)
+    p = hist / jnp.maximum(n_per_channel, 1.0)
+    h_c = -jnp.sum(jnp.where(hist > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0),
+                   axis=-1)
+    h_bar = jnp.mean(h_c)
+
+    # --- run-length match proxy in bbox row-major, channel-innermost order -
+    prev_in_row = jnp.where(xs[..., None] > x0, shifted(res, 0, 1),
+                            -1)[..., channels - 1]   # value of (y, x-1, C-1)
+    prev_chan = jnp.concatenate([
+        jnp.full((height, width, 1), -1, res.dtype), res[..., :-1]], axis=-1)
+    # (y-1, x1, C-1): last stream element of the previous bbox row
+    row_last = jnp.take_along_axis(
+        res[..., channels - 1], jnp.broadcast_to(x1, (height, 1)), axis=1)[:, 0]
+    prev_row_last = jnp.concatenate([jnp.full((1,), -1, res.dtype),
+                                     row_last[:-1]])
+    prev = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, res.shape, 2) > 0, prev_chan,
+        jnp.where((xs > x0)[..., None], prev_in_row[..., None],
+                  jnp.where((ys > y0)[..., None],
+                            prev_row_last[:, None, None], -1)))
+    in_stream = in_bbox[..., None] & jnp.ones_like(res, bool)
+    same = in_stream & (res == prev) & (prev >= 0)
+    is_start = in_stream & ~same
+    flat_start = is_start.reshape(-1)
+    flat_stream = in_stream.reshape(-1)
+    run_id = jnp.cumsum(flat_start.astype(jnp.int32)) - 1
+    run_id = jnp.where(flat_stream, run_id, res.size - 1)
+    run_len = jax.ops.segment_sum(flat_stream.astype(jnp.int32),
+                                  jnp.maximum(run_id, 0),
+                                  num_segments=res.size)
+    # exclude the dump slot unless it is a genuine run id
+    n_runs = jnp.sum(flat_start)
+    slot_ids = jnp.arange(res.size)
+    genuine = slot_ids < n_runs
+    long_run = genuine & (run_len >= l_min)
+    match_symbols = jnp.sum(jnp.where(long_run, run_len, 0))
+    match_count = jnp.sum(long_run)
+    match_len_sum = match_symbols  # reference accumulates run_len into both
+
+    # --- finalize (finalize_size_kernel / compute_size_device :10-43) ------
+    n_total = (w * h * channels).astype(jnp.float32)
+    f_match = jnp.where((n_total > 0) & (match_symbols > 0),
+                        match_symbols / n_total, 0.0)
+    l_bar = jnp.where(match_count > 0,
+                      match_len_sum / jnp.maximum(match_count, 1),
+                      float(l_min))
+    b_lit = h_bar + beta
+    b_match = b_match_token / jnp.maximum(l_bar, 1e-9) + gamma
+    b_data = (1.0 - f_match) * b_lit + f_match * b_match
+    s_est = overhead_base + h.astype(jnp.float32) + n_total * b_data / 8.0
+
+    ok = seg_valid & (count >= min_pixels) & (w > 0) & (h > 0)
+    return jnp.where(ok, s_est, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_pixels", "l_min", "beta",
+                                    "b_match_token", "gamma", "overhead_base",
+                                    "adaptive_filter"))
+def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
+                               counts: jnp.ndarray, bboxes: jnp.ndarray,
+                               valid: jnp.ndarray, *, min_pixels: int = 1,
+                               l_min: int = 4, beta: float = 0.012167,
+                               b_match_token: float = 18.0,
+                               gamma: float = 0.1,
+                               overhead_base: float = 9.308622,
+                               adaptive_filter: bool = True) -> jnp.ndarray:
+    """Estimated PNG sizes for all segment slots of one image.
+
+    img_u8: [H, W, C] uint8/int; inverse: [H, W] compact labels; counts
+    [k_max]; bboxes [k_max, 4] (x0, y0, x1, y1); valid [k_max].
+    Returns [k_max] float32 (0 for empty/skipped slots). Defaults mirror
+    compute_rewards.cuh:9-16.
+    """
+    k_max = counts.shape[0]
+    img_i32 = img_u8.astype(jnp.int32)
+    fn = functools.partial(
+        _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
+        b_match_token=b_match_token, gamma=gamma,
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+    return jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))(
+        img_i32, inverse, jnp.arange(k_max, dtype=jnp.int32), bboxes,
+        counts, valid)

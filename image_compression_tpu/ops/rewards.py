@@ -1,0 +1,67 @@
+"""Batched compression reward: estimated slice sizes vs. original file size.
+
+Replaces compute_rewards_batched (compute_rewards.cu:55-196) with one fully
+on-device program: label compaction + segment stats + the vectorized PNG
+size estimator, batched over images with vmap — no per-image host loop, no
+bbox readbacks (the reference syncs bboxes to host per image,
+compute_rewards.cu:152).
+
+Reward per image (compute_rewards.cu:182-192):
+    R = (size_image - sum_k est_size_k) / size_image
+        - lambda * [exactly one segment with count >= min_pixels]
+
+Fidelity note (documented divergence): the reference converts its [0,1] float
+images to uint8 RGBA *without rescaling* (chw3_f32_to_hwc4_u8_kernel rounds
+the raw float, compute_rewards.cu:15-53), so its estimator effectively sees a
+binary image; we rescale by 255 as intended.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from image_compression_tpu.ops.png_estimator import estimate_segment_png_sizes
+from image_compression_tpu.ops.segment_stats import segment_stats
+
+
+def to_rgba_u8(images_f01: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, W, 3] float [0,1] -> [..., H, W, 4] uint8 with alpha=255."""
+    rgb = jnp.clip(jnp.round(images_f01 * 255.0), 0, 255).astype(jnp.uint8)
+    alpha = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_max", "min_pixels", "l_min", "beta",
+                                    "b_match_token", "gamma", "overhead_base",
+                                    "adaptive_filter", "lam"))
+def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
+                            image_sizes_b: jnp.ndarray, *, k_max: int = 64,
+                            min_pixels: int = 1, l_min: int = 4,
+                            beta: float = 0.012167,
+                            b_match_token: float = 18.0, gamma: float = 0.1,
+                            overhead_base: float = 9.308622,
+                            adaptive_filter: bool = True,
+                            lam: float = 0.5) -> jnp.ndarray:
+    """images [B, H, W, 3] float [0,1]; labels [B, H, W] int; sizes [B]
+    (on-disk byte counts). Returns rewards [B] float32. Defaults mirror
+    compute_rewards.cuh:5-17."""
+    imgs_rgba = to_rgba_u8(images_f01)
+
+    def one(img, labels, size):
+        stats = segment_stats(labels, k_max)
+        seg_sizes = estimate_segment_png_sizes(
+            img, stats.inverse, stats.counts, stats.bboxes, stats.valid,
+            min_pixels=min_pixels, l_min=l_min, beta=beta,
+            b_match_token=b_match_token, gamma=gamma,
+            overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+        k_valid = jnp.sum((stats.counts >= min_pixels) & stats.valid)
+        penalty = (k_valid == 1).astype(jnp.float32)
+        gain = (size - seg_sizes.sum()) / size
+        return gain - lam * penalty
+
+    return jax.vmap(one)(imgs_rgba, labels_bhw,
+                         image_sizes_b.astype(jnp.float32))

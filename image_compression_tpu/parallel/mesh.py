@@ -1,0 +1,45 @@
+"""Device mesh and sharding helpers.
+
+The reference has no distribution story (no NCCL/MPI; single torch::kCUDA
+device throughout, training.cpp:70). The TPU-native scale-out is
+data-parallel SPMD over the image batch axis: one `jax.sharding.Mesh` whose
+"data" axis spans all chips (ICI within a slice, DCN across slices), batches
+sharded along it, parameters/optimizer state replicated. Gradients are
+reduced by XLA-inserted collectives when the jitted train step consumes a
+sharded batch with replicated params — no hand-written all-reduces.
+
+At U-Net scale (7.7M params) model parallelism buys nothing; the second
+scale axis is image resolution, handled by spatial sharding of the extractors
+(shard_map with halo exchange) — see parallel/spatial.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding for image/label/reward arrays."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """Place a host batch (pytree of arrays, leading dim = global batch)
+    sharded across the mesh's data axis."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)

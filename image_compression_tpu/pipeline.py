@@ -1,0 +1,102 @@
+"""End-to-end compression pipeline: images -> edge costs -> multicut ->
+slices on disk -> lossless reassembly.
+
+Device-side equivalent of the reference `compress` binary
+(compress.cpp:93-153): U-Net forward (or a classical extractor), multicut
+segmentation, then the host slice writer. The device portion is one jitted
+batched program; only slice PNG encoding touches the host (the reference
+additionally round-trips labels and bboxes mid-pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_compression_tpu.config import Config, EdgeTarget
+from image_compression_tpu.io.image_io import (find_image_files_recursively,
+                                               load_image, to_float01_rgb)
+from image_compression_tpu.io.slicer import write_slices
+from image_compression_tpu.models.unet import EdgeUNet
+from image_compression_tpu.ops.edges import (edge_validity_masks,
+                                             split_model_output, squash_mu)
+from image_compression_tpu.ops.multicut import multicut_grid
+from image_compression_tpu.ops.targets import compute_edge_costs
+
+
+def classical_costs_signed(images: jnp.ndarray,
+                           target: EdgeTarget) -> jnp.ndarray:
+    """Classical {0,1} connect/cut planes -> signed multicut costs {-1,+1}
+    with padding masked to 0 (the classical, non-learned compress path)."""
+    costs01 = compute_edge_costs(images, target)
+    height, width = costs01.shape[-3], costs01.shape[-2]
+    masks = edge_validity_masks(height, width)
+    return (2.0 * costs01 - 1.0) * masks
+
+
+def learned_costs(model: EdgeUNet, params, images: jnp.ndarray,
+                  mu_scale: float = 2.0) -> jnp.ndarray:
+    """U-Net forward -> deterministic mu cost planes (compress.cpp:124-128)."""
+    out = model.apply(params, images)
+    mu_raw, _ = split_model_output(out)
+    height, width = out.shape[-3], out.shape[-2]
+    return squash_mu(mu_raw, mu_scale) * edge_validity_masks(height, width)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "max_rounds", "icm_sweeps"))
+def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
+                  max_rounds: int = 64, icm_sweeps: int = 8) -> jnp.ndarray:
+    """Batched multicut over cost planes -> labels [B, H, W] int32."""
+    fn = functools.partial(multicut_grid, mode=mode, max_rounds=max_rounds,
+                           icm_sweeps=icm_sweeps)
+    return jax.vmap(fn)(costs_bhw2)
+
+
+def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
+                    cfg: Config, results_dir: str | pathlib.Path,
+                    names: list[str]) -> list[pathlib.Path]:
+    """Compress a list of equally-sized uint8 HWC images: batch on device,
+    slice + write on host. Returns the per-image output directories."""
+    batch = jnp.asarray(np.stack([to_float01_rgb(im) for im in images_u8]))
+    costs = cost_fn(batch)
+    labels = segment_batch(costs, mode=cfg.multicut.mode,
+                           max_rounds=cfg.multicut.max_rounds,
+                           icm_sweeps=cfg.multicut.icm_sweeps)
+    labels = np.asarray(labels)
+    out_dirs = []
+    for img, lab, name in zip(images_u8, labels, names):
+        write_slices(img, lab.astype(np.int64), results_dir, name,
+                     cfg.image_format, cfg.compression_level)
+        out_dirs.append(pathlib.Path(results_dir) / name)
+    return out_dirs
+
+
+def compress_directory(cfg: Config, params=None, limit: int | None = None,
+                       classical: EdgeTarget | None = None) -> list[pathlib.Path]:
+    """The `compress` entry point (compress.cpp:93-153): scan the dataset dir,
+    segment every image, write slices + metadata into results_dir/<stem>/.
+
+    With `params` uses the learned U-Net; otherwise `classical` (default
+    Canny) costs — the CPU-runnable configuration.
+    """
+    paths = find_image_files_recursively(cfg.dataset_dir, cfg.image_format)
+    if limit:
+        paths = paths[:limit]
+    print(f"Found {len(paths)} images")
+    model = EdgeUNet()
+    out = []
+    for path in paths:
+        img = load_image(path)
+        if params is not None:
+            cost_fn = lambda b: learned_costs(model, params, b)  # noqa: E731
+        else:
+            target = classical or EdgeTarget.CANNY
+            cost_fn = lambda b: classical_costs_signed(b, target)  # noqa: E731
+        out += compress_arrays([img], cost_fn, cfg, cfg.results_dir,
+                               [path.stem])
+    return out

@@ -1,0 +1,64 @@
+"""Gaussian edge-cost policy and EMA reward baseline for REINFORCE.
+
+Replicates gaussian_policy.hpp:11-33 and ema_baseline.hpp:4-22: a diagonal
+Gaussian over flattened edge costs with reparameterized sampling, per-sample
+log-prob and closed-form entropy; a scalar EMA of the batch-mean reward as
+the variance-reduction baseline.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+class PolicySample(NamedTuple):
+    w: jnp.ndarray        # [B, E] sampled edge costs
+    logp: jnp.ndarray     # [B]
+    entropy: jnp.ndarray  # [B]
+
+
+def sample_gaussian_policy(key: jax.Array, mu: jnp.ndarray,
+                           sigma: jnp.ndarray) -> PolicySample:
+    """mu, sigma: [B, E] -> reparameterized sample with summed log-prob and
+    entropy (gaussian_policy.hpp:11-33)."""
+    noise = jax.random.normal(key, mu.shape, mu.dtype)
+    w = mu + sigma * noise
+    z = (w - mu) / sigma
+    logp_elem = -0.5 * z * z - jnp.log(sigma) - 0.5 * LOG_2PI
+    ent_elem = 0.5 * (1.0 + LOG_2PI) + jnp.log(sigma)
+    return PolicySample(w, logp_elem.sum(-1), ent_elem.sum(-1))
+
+
+def ema_baseline_update(value: jnp.ndarray, initialized: jnp.ndarray,
+                        rewards: jnp.ndarray,
+                        momentum: float = 0.99):
+    """Scalar EMA of mean reward; first call adopts the batch mean
+    (ema_baseline.hpp:11-21). Returns (new_value, new_initialized)."""
+    mean_r = rewards.mean()
+    new_value = jnp.where(initialized,
+                          value * momentum + mean_r * (1.0 - momentum),
+                          mean_r)
+    return new_value, jnp.asarray(True) | initialized
+
+
+def whitened_advantage(rewards: jnp.ndarray,
+                       baseline: jnp.ndarray) -> jnp.ndarray:
+    """adv = (r - b), then standardized with std clamped at 1e-6
+    (training.cpp:178-181)."""
+    adv = rewards - baseline
+    std = jnp.std(adv, ddof=1)
+    return (adv - adv.mean()) / jnp.maximum(std, 1e-6)
+
+
+def reinforce_loss(adv: jnp.ndarray, sample: PolicySample, num_edges: int,
+                   entropy_coef: float = 1e-4) -> jnp.ndarray:
+    """loss = -mean(adv * logp/E) - c * mean(entropy/E) (training.cpp:185-186)."""
+    e = float(num_edges)
+    return (-(adv * (sample.logp / e)).mean()
+            - entropy_coef * (sample.entropy / e).mean())

@@ -1,0 +1,90 @@
+"""Online REINFORCE driver (training.cpp:68-240).
+
+Loads pretrained params, then per batch: one fully-jitted RL step (policy
+sample -> multicut -> PNG-size reward -> EMA baseline -> whitened advantage
+-> entropy-regularized REINFORCE update with grad clip). Deterministic-mu
+evaluation + checkpoint every eval_every steps, final checkpoint at the end.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from image_compression_tpu.config import Config
+from image_compression_tpu.io.image_io import find_image_files_recursively
+from image_compression_tpu.models.unet import EdgeUNet
+from image_compression_tpu.parallel.mesh import (make_mesh, replicate,
+                                                 shard_batch)
+from image_compression_tpu.train.checkpoint import CheckpointManager
+from image_compression_tpu.train.data import ImageBatches
+from image_compression_tpu.train.steps import (init_rl_state,
+                                               make_rl_eval,
+                                               make_rl_optimizer,
+                                               make_rl_step)
+
+
+def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
+                  log=print):
+    """Returns (final RLState, run_id)."""
+    r = cfg.rl
+    model = EdgeUNet()
+    tx = make_rl_optimizer(cfg)
+    state = init_rl_state(pretrained_params, tx)
+
+    train_paths = find_image_files_recursively(cfg.dataset_dir,
+                                               cfg.image_format)
+    train_paths = train_paths[:r.max_train_images]
+    val_paths = find_image_files_recursively(cfg.val_dataset_dir,
+                                             cfg.image_format)
+    val_paths = val_paths[:r.max_val_images]
+    if not train_paths:
+        raise FileNotFoundError(f"no images under {cfg.dataset_dir}")
+
+    train_data = ImageBatches(train_paths, r.batch_size, cfg.image_size,
+                              with_file_sizes=True, workers=4, drop_last=True)
+    val_data = ImageBatches(val_paths, r.batch_size, cfg.image_size,
+                            with_file_sizes=True, workers=2, drop_last=False)
+
+    mesh = make_mesh() if use_mesh else None
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    step_fn = make_rl_step(model, tx, cfg)
+    eval_fn = make_rl_eval(model, cfg)
+    ckpt = CheckpointManager(cfg.results_dir, "fcn_training")
+    key = jax.random.PRNGKey(0)
+
+    def run_eval():
+        rsum = 0.0
+        n = 0
+        for images, sizes in val_data.epoch(0, shuffle=False):
+            images = jnp.asarray(images)
+            sizes = jnp.asarray(sizes)
+            if mesh is not None and images.shape[0] % mesh.size == 0:
+                images, sizes = shard_batch(mesh, (images, sizes))
+            rewards = eval_fn(state.params, images, sizes)
+            rsum += float(rewards.sum())
+            n += images.shape[0]
+        return rsum / max(n, 1)
+
+    for epoch in range(r.epochs):
+        for batch_count, (images, sizes) in enumerate(
+                train_data.epoch(epoch), 1):
+            images = jnp.asarray(images)
+            sizes = jnp.asarray(sizes)
+            if mesh is not None:
+                images, sizes = shard_batch(mesh, (images, sizes))
+            key, sub = jax.random.split(key)
+            state, aux = step_fn(state, sub, images, sizes)
+
+            if batch_count % r.eval_every == 0:
+                log(f"epoch={epoch} step={batch_count} "
+                    f"loss={float(aux['loss']):.6f} "
+                    f"Rmean={float(aux['reward_mean']):.4f} "
+                    f"baseline={float(aux['baseline']):.4f}")
+                log(f"Eval reward mean={run_eval():.4f}")
+                ckpt.save("latest", state)
+
+    ckpt.save("final", state)
+    return state, ckpt.run_id

@@ -1,0 +1,204 @@
+"""Jitted train steps: supervised pretraining and online REINFORCE.
+
+Everything the reference does per batch — forward, loss, backward, optimizer
+(pretraining.cpp:282-296); forward, squash, sample, multicut, reward,
+baseline, REINFORCE update (training.cpp:140-192) — compiles into ONE XLA
+program per phase, including the multicut solve and the PNG-size reward (the
+reference leaves those outside autograd on separate streams with host syncs).
+
+Data-parallel by construction: feed a batch sharded over the mesh's "data"
+axis with replicated params (parallel/mesh.py) and XLA inserts the gradient
+all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from image_compression_tpu.config import Config
+from image_compression_tpu.models.unet import EdgeUNet
+from image_compression_tpu.ops.edges import (flatten_edge_planes,
+                                             split_model_output, squash_mu,
+                                             squash_sigma,
+                                             unflatten_edge_planes)
+from image_compression_tpu.ops.multicut import multicut_grid
+from image_compression_tpu.ops.rewards import compute_rewards_batched
+from image_compression_tpu.train.losses import pretrain_loss
+from image_compression_tpu.train.metrics import edge_metrics
+from image_compression_tpu.train.policy import (ema_baseline_update,
+                                                reinforce_loss,
+                                                sample_gaussian_policy,
+                                                whitened_advantage)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class RLState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    baseline: jnp.ndarray          # EMA of mean reward (ema_baseline.hpp)
+    baseline_init: jnp.ndarray     # bool
+
+
+def make_pretrain_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """AdamW(lr=1e-3, wd=1e-4) (pretraining.cpp:221-224)."""
+    return optax.adamw(cfg.pretrain.lr, weight_decay=cfg.pretrain.weight_decay)
+
+
+def make_rl_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """grad-clip 1.0 + Adam(1e-4) (training.cpp:79, :190)."""
+    return optax.chain(optax.clip_by_global_norm(cfg.rl.grad_clip),
+                       optax.adam(cfg.rl.lr))
+
+
+def make_pretrain_step(model: EdgeUNet, tx: optax.GradientTransformation,
+                       cfg: Config):
+    p = cfg.pretrain
+
+    @jax.jit
+    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray):
+        def loss_fn(params):
+            out = model.apply(params, images)
+            lo = pretrain_loss(out, targets, pos_weight=p.pos_weight,
+                               w_sign=p.w_sign, w_sigma=p.w_sigma,
+                               sigma_min=p.sigma_min, sigma_max=p.sigma_max)
+            return lo.loss, (lo, out)
+
+        (loss, (lo, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = edge_metrics(out, targets)
+        aux = {"loss": loss, "loss_sign": lo.loss_sign,
+               "loss_sigma": lo.loss_sigma,
+               "sign_correct": lo.correct, "sign_valid": lo.valid}
+        return TrainState(params, opt_state, state.step + 1), aux, metrics
+
+    return step
+
+
+def make_pretrain_eval(model: EdgeUNet, cfg: Config):
+    p = cfg.pretrain
+
+    @jax.jit
+    def evaluate(params, images, targets):
+        out = model.apply(params, images)
+        lo = pretrain_loss(out, targets, pos_weight=p.pos_weight,
+                           w_sign=p.w_sign, w_sigma=p.w_sigma,
+                           sigma_min=p.sigma_min, sigma_max=p.sigma_max)
+        return {"loss": lo.loss, "valid_weight": lo.valid_weight,
+                "sign_correct": lo.correct,
+                "sign_valid": lo.valid}, edge_metrics(out, targets)
+
+    return evaluate
+
+
+def _policy_forward(model, params, images, cfg: Config):
+    # flatten drops the padding column/row, so no masking is needed here;
+    # squash-after-flatten == flatten-after-squash (elementwise)
+    out = model.apply(params, images)
+    mu_raw, sigma_raw = split_model_output(out)
+    mu = flatten_edge_planes(squash_mu(mu_raw, cfg.rl.mu_scale))
+    sigma = flatten_edge_planes(
+        squash_sigma(sigma_raw, cfg.rl.sigma_min, cfg.rl.sigma_max))
+    return mu, sigma
+
+
+def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
+                 cfg: Config):
+    """One REINFORCE step (training.cpp:140-192), fully on device."""
+    r = cfg.rl
+    mc = cfg.multicut
+    rw = cfg.reward
+
+    def segment(costs_flat, height, width):
+        planes = unflatten_edge_planes(costs_flat, height, width)
+        fn = functools.partial(multicut_grid, mode=mc.mode,
+                               max_rounds=mc.max_rounds,
+                               icm_sweeps=mc.icm_sweeps)
+        return jax.vmap(fn)(planes)
+
+    @jax.jit
+    def step(state: RLState, key: jax.Array, images: jnp.ndarray,
+             image_sizes: jnp.ndarray):
+        height, width = images.shape[1], images.shape[2]
+
+        def loss_fn(params):
+            mu, sigma = _policy_forward(model, params, images, cfg)
+            sample = sample_gaussian_policy(key, mu, sigma)
+
+            # multicut + reward outside autograd (training.cpp:164-175)
+            w = jax.lax.stop_gradient(sample.w)
+            labels = segment(w, height, width)
+            rewards = compute_rewards_batched(
+                images, labels, image_sizes, k_max=rw.max_segments,
+                min_pixels=rw.min_pixels_per_segment, l_min=rw.l_min,
+                beta=rw.beta, b_match_token=rw.b_match_token, gamma=rw.gamma,
+                overhead_base=rw.overhead_base,
+                adaptive_filter=rw.adaptive_filter,
+                lam=rw.lambda_single_segment)
+            rewards = jax.lax.stop_gradient(rewards)
+
+            baseline, binit = ema_baseline_update(
+                state.baseline, state.baseline_init, rewards,
+                r.baseline_momentum)
+            adv = whitened_advantage(rewards, baseline)
+            loss = reinforce_loss(adv, sample, mu.shape[-1], r.entropy_coef)
+            return loss, (rewards, baseline, binit)
+
+        (loss, (rewards, baseline, binit)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = RLState(params, opt_state, state.step + 1, baseline, binit)
+        aux = {"loss": loss, "reward_mean": rewards.mean(),
+               "baseline": baseline}
+        return new_state, aux
+
+    return step
+
+
+def make_rl_eval(model: EdgeUNet, cfg: Config):
+    """Deterministic-mu evaluation (training.cpp:206-229)."""
+    mc = cfg.multicut
+    rw = cfg.reward
+
+    @jax.jit
+    def evaluate(params, images, image_sizes):
+        height, width = images.shape[1], images.shape[2]
+        mu, _ = _policy_forward(model, params, images, cfg)
+        planes = unflatten_edge_planes(mu, height, width)
+        fn = functools.partial(multicut_grid, mode=mc.mode,
+                               max_rounds=mc.max_rounds,
+                               icm_sweeps=mc.icm_sweeps)
+        labels = jax.vmap(fn)(planes)
+        rewards = compute_rewards_batched(
+            images, labels, image_sizes, k_max=rw.max_segments,
+            min_pixels=rw.min_pixels_per_segment, l_min=rw.l_min,
+            beta=rw.beta, b_match_token=rw.b_match_token, gamma=rw.gamma,
+            overhead_base=rw.overhead_base,
+            adaptive_filter=rw.adaptive_filter,
+            lam=rw.lambda_single_segment)
+        return rewards
+
+    return evaluate
+
+
+def init_train_state(model: EdgeUNet, tx, key, sample_images) -> TrainState:
+    params = model.init(key, sample_images)
+    return TrainState(params, tx.init(params), jnp.asarray(0))
+
+
+def init_rl_state(params, tx) -> RLState:
+    return RLState(params, tx.init(params), jnp.asarray(0),
+                   jnp.asarray(0.0), jnp.asarray(False))

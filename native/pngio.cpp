@@ -1,0 +1,346 @@
+// Native host runtime: PNG codec + segment slicer + metadata writer.
+//
+// TPU-native equivalent of the reference's host-side C++ layer: image_writer
+// (cv::imwrite, image_writer.cpp:4-8), the slicer's per-label mask/bbox/crop
+// work (image_slicer.cpp:15-130), and the metadata codec (metadata.cpp:4-34).
+// No OpenCV: PNG encoding is implemented directly on zlib with adaptive
+// per-row filtering (the same None/Sub/Up/Avg/Paeth minimum-|int8| heuristic
+// libpng uses and the estimator models, png_size_estimator.cu:60-205), and
+// slices are encoded in parallel with a std::thread pool (the reference uses
+// one std::async task per label).
+//
+// Exposed via a C ABI for ctypes (see image_compression_tpu/io/native.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+void put_u32_be(std::vector<uint8_t>& out, uint32_t v) {
+    out.push_back((v >> 24) & 0xFF);
+    out.push_back((v >> 16) & 0xFF);
+    out.push_back((v >> 8) & 0xFF);
+    out.push_back(v & 0xFF);
+}
+
+void put_chunk(std::vector<uint8_t>& out, const char type[4],
+               const uint8_t* data, size_t len) {
+    put_u32_be(out, (uint32_t)len);
+    size_t start = out.size();
+    out.insert(out.end(), type, type + 4);
+    out.insert(out.end(), data, data + len);
+    uint32_t crc = crc32(0, out.data() + start, (uInt)(len + 4));
+    put_u32_be(out, crc);
+}
+
+inline int paeth(int a, int b, int c) {
+    int p = a + b - c;
+    int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+    if (pa <= pb && pa <= pc) return a;
+    if (pb <= pc) return b;
+    return c;
+}
+
+// Filter one row with the given filter id into dst (without the filter byte).
+void filter_row(uint8_t filter, const uint8_t* cur, const uint8_t* prev,
+                int bpp, int stride, uint8_t* dst) {
+    switch (filter) {
+        case 0:
+            std::memcpy(dst, cur, stride);
+            break;
+        case 1:
+            for (int i = 0; i < stride; ++i) {
+                int left = i >= bpp ? cur[i - bpp] : 0;
+                dst[i] = (uint8_t)(cur[i] - left);
+            }
+            break;
+        case 2:
+            for (int i = 0; i < stride; ++i) {
+                int up = prev ? prev[i] : 0;
+                dst[i] = (uint8_t)(cur[i] - up);
+            }
+            break;
+        case 3:
+            for (int i = 0; i < stride; ++i) {
+                int left = i >= bpp ? cur[i - bpp] : 0;
+                int up = prev ? prev[i] : 0;
+                dst[i] = (uint8_t)(cur[i] - ((left + up) >> 1));
+            }
+            break;
+        default:
+            for (int i = 0; i < stride; ++i) {
+                int left = i >= bpp ? cur[i - bpp] : 0;
+                int up = prev ? prev[i] : 0;
+                int ul = (prev && i >= bpp) ? prev[i - bpp] : 0;
+                dst[i] = (uint8_t)(cur[i] - paeth(left, up, ul));
+            }
+    }
+}
+
+uint64_t row_cost(const uint8_t* filtered, int stride) {
+    uint64_t s = 0;
+    for (int i = 0; i < stride; ++i) {
+        int8_t v = (int8_t)filtered[i];
+        s += (uint64_t)std::abs((int)v);
+    }
+    return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode an 8-bit image to PNG. channels: 1=gray, 2=gray+alpha, 3=RGB,
+// 4=RGBA. Returns a malloc'd buffer in *out (caller frees via
+// pngio_free). Returns 0 on success.
+int pngio_encode(const uint8_t* img, int height, int width, int channels,
+                 int level, uint8_t** out, size_t* out_len) {
+    if (!img || !out || !out_len || height <= 0 || width <= 0 ||
+        channels < 1 || channels > 4)
+        return 1;
+    static const uint8_t color_types[5] = {0, 0, 4, 2, 6};
+    const int bpp = channels;
+    const int stride = width * channels;
+
+    // adaptive filtering: pick min-|int8| filter per row
+    std::vector<uint8_t> raw((size_t)height * (stride + 1));
+    std::vector<uint8_t> trial(stride);
+    for (int y = 0; y < height; ++y) {
+        const uint8_t* cur = img + (size_t)y * stride;
+        const uint8_t* prev = y > 0 ? img + (size_t)(y - 1) * stride : nullptr;
+        uint8_t best_f = 0;
+        uint64_t best_cost = UINT64_MAX;
+        uint8_t* dst = raw.data() + (size_t)y * (stride + 1) + 1;
+        for (uint8_t f = 0; f < 5; ++f) {
+            filter_row(f, cur, prev, bpp, stride, trial.data());
+            uint64_t c = row_cost(trial.data(), stride);
+            if (c < best_cost) {
+                best_cost = c;
+                best_f = f;
+                std::memcpy(dst, trial.data(), stride);
+            }
+        }
+        raw[(size_t)y * (stride + 1)] = best_f;
+    }
+
+    uLongf comp_bound = compressBound((uLong)raw.size());
+    std::vector<uint8_t> comp(comp_bound);
+    if (compress2(comp.data(), &comp_bound, raw.data(), (uLong)raw.size(),
+                  level) != Z_OK)
+        return 2;
+
+    std::vector<uint8_t> png;
+    png.reserve(comp_bound + 128);
+    static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+    png.insert(png.end(), sig, sig + 8);
+    uint8_t ihdr[13];
+    ihdr[0] = (width >> 24) & 0xFF; ihdr[1] = (width >> 16) & 0xFF;
+    ihdr[2] = (width >> 8) & 0xFF;  ihdr[3] = width & 0xFF;
+    ihdr[4] = (height >> 24) & 0xFF; ihdr[5] = (height >> 16) & 0xFF;
+    ihdr[6] = (height >> 8) & 0xFF;  ihdr[7] = height & 0xFF;
+    ihdr[8] = 8;                      // bit depth
+    ihdr[9] = color_types[channels];  // color type
+    ihdr[10] = ihdr[11] = ihdr[12] = 0;
+    put_chunk(png, "IHDR", ihdr, 13);
+    put_chunk(png, "IDAT", comp.data(), comp_bound);
+    put_chunk(png, "IEND", nullptr, 0);
+
+    *out = (uint8_t*)std::malloc(png.size());
+    if (!*out) return 3;
+    std::memcpy(*out, png.data(), png.size());
+    *out_len = png.size();
+    return 0;
+}
+
+void pngio_free(uint8_t* p) { std::free(p); }
+
+// Decode an 8-bit PNG (color types 0/2/4/6, no interlace). Caller provides
+// the output query: first call with out=nullptr fills *height/*width/
+// *channels; second call with an adequately sized out buffer decodes.
+int pngio_decode(const uint8_t* data, size_t len, uint8_t* out, int* height,
+                 int* width, int* channels) {
+    if (!data || len < 45 || !height || !width || !channels) return 1;
+    static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+    if (std::memcmp(data, sig, 8) != 0) return 2;
+
+    size_t pos = 8;
+    int w = 0, h = 0, depth = 0, color = -1;
+    std::vector<uint8_t> idat;
+    while (pos + 8 <= len) {
+        uint32_t clen = ((uint32_t)data[pos] << 24) | (data[pos + 1] << 16) |
+                        (data[pos + 2] << 8) | data[pos + 3];
+        const char* type = (const char*)data + pos + 4;
+        const uint8_t* payload = data + pos + 8;
+        if (pos + 12 + clen > len) return 3;
+        if (!std::memcmp(type, "IHDR", 4)) {
+            w = (payload[0] << 24) | (payload[1] << 16) | (payload[2] << 8) |
+                payload[3];
+            h = (payload[4] << 24) | (payload[5] << 16) | (payload[6] << 8) |
+                payload[7];
+            depth = payload[8];
+            color = payload[9];
+            if (payload[12] != 0) return 4;  // interlaced: unsupported
+        } else if (!std::memcmp(type, "IDAT", 4)) {
+            idat.insert(idat.end(), payload, payload + clen);
+        } else if (!std::memcmp(type, "IEND", 4)) {
+            break;
+        }
+        pos += 12 + clen;
+    }
+    if (depth != 8) return 5;
+    int ch;
+    switch (color) {
+        case 0: ch = 1; break;
+        case 2: ch = 3; break;
+        case 4: ch = 2; break;
+        case 6: ch = 4; break;
+        default: return 6;  // palette etc.: caller falls back to PIL
+    }
+    *height = h;
+    *width = w;
+    *channels = ch;
+    if (!out) return 0;
+
+    const int stride = w * ch;
+    std::vector<uint8_t> raw((size_t)h * (stride + 1));
+    uLongf raw_len = (uLongf)raw.size();
+    if (uncompress(raw.data(), &raw_len, idat.data(), (uLong)idat.size()) !=
+            Z_OK || raw_len != raw.size())
+        return 7;
+
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* src = raw.data() + (size_t)y * (stride + 1);
+        uint8_t filter = src[0];
+        ++src;
+        uint8_t* dst = out + (size_t)y * stride;
+        const uint8_t* prev = y > 0 ? out + (size_t)(y - 1) * stride : nullptr;
+        for (int i = 0; i < stride; ++i) {
+            int left = i >= ch ? dst[i - ch] : 0;
+            int up = prev ? prev[i] : 0;
+            int ul = (prev && i >= ch) ? prev[i - ch] : 0;
+            int pred = 0;
+            switch (filter) {
+                case 0: pred = 0; break;
+                case 1: pred = left; break;
+                case 2: pred = up; break;
+                case 3: pred = (left + up) >> 1; break;
+                default: pred = paeth(left, up, ul);
+            }
+            dst[i] = (uint8_t)(src[i] + pred);
+        }
+    }
+    return 0;
+}
+
+// Slice an RGBA image by a label map and write slice_<label>.png files plus
+// metadata.bin into out_dir, in parallel. Returns the number of slices
+// written, or -1 on error. Mirrors write_slices (image_slicer.cpp:81-130)
+// with one vectorized bbox pass instead of per-label O(K*H*W) scans.
+int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
+                       int height, int width, const char* out_dir,
+                       int level, int n_threads) {
+    if (!img_rgba || !labels || !out_dir) return -1;
+
+    // one pass: bbox per label
+    int32_t max_label = 0;
+    for (size_t i = 0; i < (size_t)height * width; ++i)
+        max_label = std::max(max_label, labels[i]);
+    const int k = max_label + 1;
+    std::vector<int32_t> x0(k, width), y0(k, height), x1(k, -1), y1(k, -1);
+    for (int y = 0; y < height; ++y) {
+        for (int x = 0; x < width; ++x) {
+            int32_t lab = labels[(size_t)y * width + x];
+            if (lab < 0) continue;
+            x0[lab] = std::min(x0[lab], x);
+            y0[lab] = std::min(y0[lab], y);
+            x1[lab] = std::max(x1[lab], x);
+            y1[lab] = std::max(y1[lab], y);
+        }
+    }
+
+    struct Meta {
+        int32_t label, x, y, w, h;
+        std::string filename;
+    };
+    std::vector<Meta> metas;
+    std::vector<int> present;
+    for (int lab = 0; lab < k; ++lab)
+        if (x1[lab] >= 0) present.push_back(lab);
+
+    metas.resize(present.size());
+    std::atomic<size_t> next{0};
+    std::atomic<bool> ok{true};
+
+    auto worker = [&]() {
+        std::vector<uint8_t> crop;
+        while (true) {
+            size_t i = next.fetch_add(1);
+            if (i >= present.size()) return;
+            int lab = present[i];
+            int bw = x1[lab] - x0[lab] + 1;
+            int bh = y1[lab] - y0[lab] + 1;
+            crop.assign((size_t)bw * bh * 4, 0);
+            for (int y = 0; y < bh; ++y) {
+                const int gy = y0[lab] + y;
+                const int32_t* lrow = labels + (size_t)gy * width + x0[lab];
+                const uint8_t* irow =
+                    img_rgba + ((size_t)gy * width + x0[lab]) * 4;
+                uint8_t* orow = crop.data() + (size_t)y * bw * 4;
+                for (int x = 0; x < bw; ++x)
+                    if (lrow[x] == lab)
+                        std::memcpy(orow + (size_t)x * 4, irow + (size_t)x * 4,
+                                    4);
+            }
+            uint8_t* png = nullptr;
+            size_t png_len = 0;
+            if (pngio_encode(crop.data(), bh, bw, 4, level, &png, &png_len)) {
+                ok = false;
+                return;
+            }
+            std::string fname =
+                "slice_" + std::to_string(lab) + ".png";
+            std::string path = std::string(out_dir) + "/" + fname;
+            FILE* f = std::fopen(path.c_str(), "wb");
+            if (!f || std::fwrite(png, 1, png_len, f) != png_len) ok = false;
+            if (f) std::fclose(f);
+            pngio_free(png);
+            metas[i] = Meta{lab, x0[lab], y0[lab], bw, bh, fname};
+        }
+    };
+
+    int nt = n_threads > 0
+                 ? n_threads
+                 : (int)std::max(1u, std::thread::hardware_concurrency());
+    nt = std::min<int>(nt, (int)present.size() + 1);
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+    if (!ok) return -1;
+
+    // metadata.bin, byte-compatible with metadata.cpp:4-34
+    std::string mpath = std::string(out_dir) + "/metadata.bin";
+    FILE* f = std::fopen(mpath.c_str(), "wb");
+    if (!f) return -1;
+    uint32_t header[4] = {0x534C4943, (uint32_t)metas.size(), (uint32_t)width,
+                          (uint32_t)height};
+    std::fwrite(header, 4, 4, f);
+    for (const auto& m : metas) {
+        int32_t fixed[5] = {m.label, m.x, m.y, m.w, m.h};
+        uint16_t flen = (uint16_t)m.filename.size();
+        std::fwrite(fixed, 4, 5, f);
+        std::fwrite(&flen, 2, 1, f);
+        std::fwrite(m.filename.data(), 1, flen, f);
+    }
+    std::fclose(f);
+    return (int)metas.size();
+}
+
+}  // extern "C"

@@ -1,0 +1,210 @@
+"""PNG size estimator: cross-check against an independent numpy oracle that
+mirrors the reference CUDA logic (png_size_estimator.cu), plus calibration
+sanity on the synthetic compressibility classes (SURVEY.md section 4(d))."""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_compression_tpu.ops.png_estimator import estimate_segment_png_sizes
+from image_compression_tpu.ops.rewards import compute_rewards_batched, to_rgba_u8
+from image_compression_tpu.ops.segment_stats import segment_stats
+from image_compression_tpu.utils.pattern_generator import GENERATORS
+
+L_MIN = 4
+BETA = 0.012167
+B_MATCH = 18.0
+GAMMA = 0.1
+OVERHEAD = 9.308622
+
+
+def paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def oracle_segment_size(img_u8, labels, k, x0, y0, x1, y1,
+                        adaptive_filter=True):
+    """Scalar-loop transcription of the masked estimator
+    (png_size_estimator.cu:60-463) with exact (unchunked) run stats."""
+    h = y1 - y0 + 1
+    w = x1 - x0 + 1
+    channels = img_u8.shape[2]
+
+    def val(gy, gx, c):
+        if gy < y0 or gx < x0:  # bbox-relative boundary
+            return 0
+        return int(img_u8[gy, gx, c]) if labels[gy, gx] == k else 0
+
+    # per-row filter costs
+    filters = np.zeros(h, np.int64)
+    for ry in range(h):
+        costs = np.zeros(5, np.int64)
+        gy = y0 + ry
+        for rx in range(w):
+            gx = x0 + rx
+            for c in range(channels):
+                cur = val(gy, gx, c)
+                left = val(gy, gx - 1, c) if rx > 0 else 0
+                up = val(gy - 1, gx, c) if ry > 0 else 0
+                ul = val(gy - 1, gx - 1, c) if (rx > 0 and ry > 0) else 0
+                preds = [0, left, up, (left + up) >> 1, paeth(left, up, ul)]
+                for f, pred in enumerate(preds):
+                    r8 = (cur - pred) & 0xFF
+                    s = r8 - 256 if r8 >= 128 else r8
+                    costs[f] += abs(s)
+        filters[ry] = int(np.argmin(costs)) if adaptive_filter else 4
+
+    # residual stream in bbox row-major, channel-innermost order
+    stream = []
+    for ry in range(h):
+        gy = y0 + ry
+        f = filters[ry]
+        for rx in range(w):
+            gx = x0 + rx
+            for c in range(channels):
+                cur = val(gy, gx, c)
+                left = val(gy, gx - 1, c) if rx > 0 else 0
+                up = val(gy - 1, gx, c) if ry > 0 else 0
+                ul = val(gy - 1, gx - 1, c) if (rx > 0 and ry > 0) else 0
+                pred = [0, left, up, (left + up) >> 1,
+                        paeth(left, up, ul)][f]
+                stream.append((cur - pred) & 0xFF)
+    stream = np.asarray(stream, np.int64)
+    n = stream.size
+
+    # entropy
+    hbar = 0.0
+    for c in range(channels):
+        vals = stream[c::channels]
+        hist = np.bincount(vals, minlength=256)
+        p = hist[hist > 0] / (w * h)
+        hbar += float(-(p * np.log2(p)).sum())
+    hbar /= channels
+
+    # exact run-length stats
+    ms = mc = 0
+    run = 1
+    for i in range(1, n):
+        if stream[i] == stream[i - 1]:
+            run += 1
+        else:
+            if run >= L_MIN:
+                ms += run
+                mc += 1
+            run = 1
+    if run >= L_MIN:
+        ms += run
+        mc += 1
+
+    f_match = ms / n if n > 0 and ms > 0 else 0.0
+    l_bar = ms / mc if mc > 0 else float(L_MIN)
+    b_lit = hbar + BETA
+    b_match = B_MATCH / l_bar + GAMMA
+    b_data = (1 - f_match) * b_lit + f_match * b_match
+    return OVERHEAD + h + n * b_data / 8.0
+
+
+def run_jax_estimator(img_u8, labels, k_max=8, adaptive_filter=True):
+    stats = segment_stats(jnp.asarray(labels), k_max)
+    sizes = estimate_segment_png_sizes(
+        jnp.asarray(img_u8), stats.inverse, stats.counts, stats.bboxes,
+        stats.valid, adaptive_filter=adaptive_filter)
+    return np.asarray(sizes), stats
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("adaptive", [True, False])
+def test_matches_oracle_random(seed, adaptive):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (12, 10, 4), np.uint8)
+    labels = rng.choice([3, 7, 11], size=(12, 10)).astype(np.int64)
+    sizes, stats = run_jax_estimator(img, labels, adaptive_filter=adaptive)
+    bboxes = np.asarray(stats.bboxes)
+    for slot in range(int(stats.num_segments)):
+        x0, y0, x1, y1 = bboxes[slot]
+        expected = oracle_segment_size(img, np.asarray(stats.inverse), slot,
+                                       x0, y0, x1, y1, adaptive)
+        np.testing.assert_allclose(sizes[slot], expected, rtol=1e-4,
+                                   err_msg=f"segment {slot}")
+
+
+def test_matches_oracle_structured(rng):
+    """Compressible structure: repeated rows + a flat region."""
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[:8] = rng.integers(0, 256, (1, 16, 4))
+    img[8:] = 77
+    img[:, :, 3] = 255
+    labels = np.zeros((16, 16), np.int64)
+    labels[:, 8:] = 1
+    sizes, stats = run_jax_estimator(img, labels)
+    bboxes = np.asarray(stats.bboxes)
+    for slot in range(2):
+        x0, y0, x1, y1 = bboxes[slot]
+        expected = oracle_segment_size(img, np.asarray(stats.inverse), slot,
+                                       x0, y0, x1, y1)
+        np.testing.assert_allclose(sizes[slot], expected, rtol=1e-4)
+
+
+def actual_png_size(img_u8):
+    buf = io.BytesIO()
+    Image.fromarray(img_u8).save(buf, format="PNG", compress_level=4)
+    return buf.getbuffer().nbytes
+
+
+def test_calibration_orders_compressibility_classes(rng):
+    """Estimates must rank the synthetic classes like real PNG sizes
+    (the estimator's purpose: an encode-free reward signal)."""
+    sizes_est = {}
+    sizes_act = {}
+    labels = np.zeros((64, 64), np.int64)
+    for name in ["monochrome", "low_variance", "noise"]:
+        img = GENERATORS[name](64, 64, True, rng)
+        img[:, :, 3] = 255
+        est, _ = run_jax_estimator(img, labels, k_max=2)
+        sizes_est[name] = float(est[0])
+        sizes_act[name] = actual_png_size(img)
+    assert sizes_est["monochrome"] < sizes_est["low_variance"] < sizes_est["noise"]
+    # incompressible noise: entropy model should land near the actual size
+    ratio = sizes_est["noise"] / sizes_act["noise"]
+    assert 0.7 < ratio < 1.4, ratio
+
+
+def test_rewards_batched(rng):
+    imgs = rng.random((2, 24, 24, 3)).astype(np.float32)
+    labels = np.zeros((2, 24, 24), np.int64)
+    labels[1, :, 12:] = 5
+    sizes = np.asarray([1800.0, 1800.0])
+    r = np.asarray(compute_rewards_batched(
+        jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(sizes), k_max=8))
+    assert r.shape == (2,)
+    # image 0 has exactly one segment -> penalized by lambda=0.5
+    stats0 = segment_stats(jnp.asarray(labels[0]), 8)
+    est0 = estimate_segment_png_sizes(
+        to_rgba_u8(jnp.asarray(imgs[0])), stats0.inverse, stats0.counts,
+        stats0.bboxes, stats0.valid)
+    expected0 = (1800.0 - float(np.asarray(est0).sum())) / 1800.0 - 0.5
+    np.testing.assert_allclose(r[0], expected0, rtol=1e-5)
+    # image 1 has two segments -> no penalty
+    assert r[1] > r[0] - 0.6
+
+
+def test_min_pixels_skip(rng):
+    img = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    labels = np.zeros((8, 8), np.int64)
+    labels[0, 0] = 1  # single-pixel segment
+    stats = segment_stats(jnp.asarray(labels), 4)
+    sizes = estimate_segment_png_sizes(
+        jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+        stats.valid, min_pixels=2)
+    # compact id 1 is the single-pixel segment (label value 1 sorts second)
+    assert float(sizes[1]) == 0.0
+    assert float(sizes[0]) > 0.0
