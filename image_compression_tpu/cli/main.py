@@ -50,7 +50,8 @@ def cmd_reassemble(args):
     ok = reassemble(args.slice_dir, args.output)
     print(f"Reconstructed image written to {args.output}" if ok
           else "reassembly failed")
-    sys.exit(0 if ok else 1)
+    if not ok:
+        sys.exit(1)
 
 
 def cmd_convert(args):

@@ -47,9 +47,10 @@ class RewardConfig:
 class MulticutConfig:
     """Grid multicut solver settings (replaces RAMA's multicut_solver_options)."""
 
-    max_rounds: int = 64          # outer contraction rounds (fixpoint upper bound)
-    mode: str = "random_mate"     # chain | mutual | random_mate | random_pair
+    max_rounds: int = 16          # outer re-aggregation rounds (fixpoint bound)
+    mode: str = "random_mate"          # chain | mutual | random_mate | hybrid
     icm_sweeps: int = 8           # local-move refinement sweeps after contraction
+    matchings_per_round: int = 4  # matching passes per cost re-aggregation
 
 
 @dataclasses.dataclass

@@ -30,7 +30,7 @@ import numpy as np
 from image_compression_tpu.ops.color import gaussian_blur
 from image_compression_tpu.ops.edges import edges_from_labels
 
-BIG = jnp.float32(1e9)
+BIG = 1e9
 
 
 def _grid8_endpoints(height: int, width: int):

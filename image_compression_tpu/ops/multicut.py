@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = -jnp.inf
 
 
 def _grid_edge_endpoints(height: int, width: int) -> tuple[np.ndarray, np.ndarray]:
@@ -57,10 +57,10 @@ def _grid_edge_endpoints(height: int, width: int) -> tuple[np.ndarray, np.ndarra
 
 @functools.partial(jax.jit,
                    static_argnames=("max_rounds", "mode", "icm_sweeps",
-                                    "contract_threshold", "return_rounds"))
-def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 64,
+                                    "matchings_per_round", "return_rounds"))
+def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 16,
                   mode: str = "random_mate", icm_sweeps: int = 8,
-                  contract_threshold: float = 0.0,
+                  matchings_per_round: int = 4,
                   return_rounds: bool = False) -> jnp.ndarray:
     """Solve multicut on the 4-connected grid.
 
@@ -68,27 +68,30 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 64,
     moves (the TPU-friendly analogue of RAMA's improvement sweeps) and a
     connectivity-restoring relabel.
 
+    Each outer round pays for ONE sorted cost re-aggregation and then runs
+    `matchings_per_round` matching+contraction passes against that (slightly
+    staling) pair table — the same amortization RAMA uses between cost
+    recomputations.
+
     Args:
       costs_hw2: [H, W, 2] float edge costs (padding slots ignored).
-      max_rounds: static upper bound on contraction rounds.
-      mode: parallel contraction scheme per round --
+      max_rounds: static upper bound on outer (re-aggregation) rounds.
+      mode: contraction scheme per matching pass --
         "chain":       hook every region to its best attractive neighbor and
                        contract whole components (fastest, overshoots chains);
         "mutual":      mutual-best matching only (sequential-GAEC quality,
                        slow convergence);
         "random_mate": mutual pairs plus coin-flipped tail->head hooks
                        (chain-free, O(log n) expected rounds) -- default;
-        "random_pair": like random_mate but heads accept only their best
-                       tail, so every merge is an exact GAEC pair move.
+        "hybrid":      chain for the first outer round (cheap coarsening of
+                       the noisy fine scale), then random_mate.
       icm_sweeps: local-move refinement sweeps after contraction (0 = off).
-      contract_threshold: only contract pairs whose aggregated cost is at
-        least this fraction of the round's maximum pair cost (RAMA gates its
-        parallel matchings the same way); 0 disables the gate.
+      matchings_per_round: matching passes per cost re-aggregation.
 
     Returns:
       labels: [H, W] int32; cluster id = smallest pixel index in the cluster.
     """
-    if mode not in ("chain", "mutual", "random_mate", "random_pair"):
+    if mode not in ("chain", "mutual", "random_mate", "hybrid"):
         raise ValueError(f"unknown mode: {mode}")
     height, width = costs_hw2.shape[:2]
     n = height * width
@@ -97,6 +100,58 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 64,
     ev = jnp.asarray(v_np)
     w = costs_hw2.reshape(-1).astype(jnp.float32)
     num_edges = w.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    log_n = int(np.ceil(np.log2(max(n, 2)))) + 1
+
+    def match_and_contract(m, touched, pa, pb, pc, chain: bool, salt):
+        """One matching pass against the pair table, composed into mapping m.
+
+        Only pairs whose BOTH regions are still untouched this round are
+        candidates, so every accepted merge uses its exact aggregated cost
+        (stale-cost merges wait for the next re-aggregation). Returns the
+        updated (mapping, touched)."""
+        pa_c = jnp.minimum(pa, n - 1)
+        pb_c = jnp.minimum(pb, n - 1)
+        sa = jnp.where(pa < n, pa, n)
+        sb = jnp.where(pb < n, pb, n)
+        act = (sa < n) & (sb < n) & ~touched[pa_c] & ~touched[pb_c]
+
+        src = jnp.concatenate([jnp.where(act, sa, n), jnp.where(act, sb, n)])
+        dst = jnp.concatenate([jnp.where(act, sb, n), jnp.where(act, sa, n)])
+        val = jnp.concatenate([pc, pc])
+        valid = src < n
+        src_c = jnp.where(valid, src, 0)
+        best = jax.ops.segment_max(
+            jnp.where(valid, val, NEG_INF), src_c, num_segments=n)
+        is_best = valid & (val == best[src_c])
+        partner = jax.ops.segment_min(
+            jnp.where(is_best, dst, n), src_c, num_segments=n)
+
+        merge = (best > 0.0) & (partner < n)
+        partner_safe = jnp.where(merge, partner, 0)
+        mutual = merge & (jnp.take(partner, partner_safe) == ids)
+        if chain:
+            pass  # hook everything (Boruvka-style)
+        else:
+            # random-mate: mutual pairs always; tails hook into heads only
+            coin = jax.random.bernoulli(
+                jax.random.fold_in(jax.random.PRNGKey(0), salt), 0.5, (n,))
+            tail_to_head = merge & ~coin & jnp.take(coin, partner_safe)
+            merge = mutual | tail_to_head
+        if mode == "mutual":
+            merge = mutual
+
+        nxt = jnp.where(merge, partner, ids)
+        two_cycle = (nxt[nxt] == ids) & (ids < nxt)
+        nxt = jnp.where(two_cycle, ids, nxt)
+        # matching modes build stars (depth <= 4 -> 2 doublings); chain mode
+        # can build deep trees
+        for _ in range(log_n if chain else 2):
+            nxt = nxt[nxt]
+        # a region is touched if it merged away or something merged into it
+        received = jnp.zeros((n,), bool).at[partner_safe].max(merge)
+        touched = touched | merge | received
+        return nxt[m], touched
 
     def round_body(state):
         root, _changed, it = state
@@ -108,8 +163,21 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 64,
         a = jnp.where(active, jnp.minimum(ru, rv), n)   # canonical pair (a, b)
         b = jnp.where(active, jnp.maximum(ru, rv), n)
         we = jnp.where(active, w, 0.0)
-        # lexicographic sort by (a, b); ties irrelevant for the sum
-        a_s, b_s, w_s = jax.lax.sort((a, b, we), num_keys=2)
+        if n <= (1 << 16):
+            # pack the pair into one sortable uint32 key (a < b < n, so
+            # a*n+b < n^2 <= 2^32): one-key sorts are markedly cheaper than
+            # lexicographic two-key sorts on TPU. Sentinel = uint32 max,
+            # which decodes to a >= b and is filtered below.
+            key = jnp.where(active,
+                            a.astype(jnp.uint32) * jnp.uint32(n)
+                            + b.astype(jnp.uint32),
+                            jnp.uint32(0xFFFFFFFF))
+            key_s, w_s = jax.lax.sort((key, we), num_keys=1)
+            a_s = (key_s // jnp.uint32(n)).astype(jnp.int32)
+            b_s = (key_s % jnp.uint32(n)).astype(jnp.int32)
+        else:
+            # lexicographic sort by (a, b); ties irrelevant for the sum
+            a_s, b_s, w_s = jax.lax.sort((a, b, we), num_keys=2)
         is_start = jnp.concatenate([
             jnp.ones((1,), bool),
             (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]),
@@ -118,70 +186,43 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 64,
         pair_cost = jax.ops.segment_sum(
             w_s, pair_id, num_segments=num_edges, indices_are_sorted=True)
 
-        # distinct-pair table, one row per sorted run start
-        pa = jnp.where(is_start & (a_s < n), a_s, n)
-        pb = jnp.where(is_start & (a_s < n), b_s, n)
-        pc = pair_cost[pair_id] * is_start  # cost at run starts only
+        # distinct-pair table, one row per sorted run start (real pairs have
+        # a < b; sentinels decode to a >= b)
+        run_ok = is_start & (a_s < b_s) & (b_s < n)
+        pa = jnp.where(run_ok, a_s, n)
+        pb = jnp.where(run_ok, b_s, n)
+        pc = jnp.where(run_ok, pair_cost[pair_id], 0.0)
 
-        # --- 2. best attractive neighbor per region ------------------------
-        # directed view: each distinct pair contributes (a->b) and (b->a)
-        src = jnp.concatenate([pa, pb])
-        dst = jnp.concatenate([pb, pa])
-        val = jnp.concatenate([pc, pc])
-        valid = src < n
-        src_c = jnp.where(valid, src, 0)
-        best = jax.ops.segment_max(
-            jnp.where(valid, val, NEG_INF), src_c, num_segments=n)
-        is_best = valid & (val == best[src_c])
-        partner = jax.ops.segment_min(
-            jnp.where(is_best, dst, n), src_c, num_segments=n)
+        # --- 2+3. matching passes against this table ------------------------
+        m = ids
+        touched = jnp.zeros((n,), bool)
+        if mode == "chain":
+            m, _ = match_and_contract(m, touched, pa, pb, pc, True, it)
+        elif mode == "hybrid":
+            m = jax.lax.cond(
+                it == 0,
+                lambda m: match_and_contract(m, touched, pa, pb, pc,
+                                             True, it)[0],
+                lambda m: _mate_passes(m, touched, pa, pb, pc, it),
+                m)
+        else:
+            m = _mate_passes(m, touched, pa, pb, pc, it)
 
-        merge = (best > 0.0) & (partner < n)
-        if contract_threshold > 0.0:
-            gate = contract_threshold * jnp.max(pc)
-            merge = merge & (best >= gate)
-        ids = jnp.arange(n, dtype=partner.dtype)
-        partner_safe = jnp.where(merge, partner, 0)
-        mutual = merge & (jnp.take(partner, partner_safe) == ids)
-        if mode == "mutual":
-            merge = mutual
-        elif mode in ("random_mate", "random_pair"):
-            # random-mate chain breaking: coin per region; tails hook into
-            # heads only. Mutual-best pairs always merge (safe regardless of
-            # coins). Optionally heads accept only their own best tail
-            # ("random_pair"), making every merge an exact GAEC pair move.
-            coin = jax.random.bernoulli(
-                jax.random.fold_in(jax.random.PRNGKey(0), it),
-                0.5, (n,))
-            tail_to_head = merge & ~coin & jnp.take(coin, partner_safe)
-            if mode == "random_pair":
-                # each head accepts only its best incoming tail -> matching
-                hook_val = jnp.where(tail_to_head, best, NEG_INF)
-                head_best = jax.ops.segment_max(
-                    hook_val, partner_safe, num_segments=n)
-                is_hb = tail_to_head & (best == head_best[partner_safe])
-                chosen = jax.ops.segment_min(
-                    jnp.where(is_hb, ids, n), partner_safe, num_segments=n)
-                tail_to_head = is_hb & (chosen[partner_safe] == ids)
-            merge = mutual | tail_to_head
-
-        # --- 3. contract ----------------------------------------------------
-        nxt = jnp.where(merge, partner, jnp.arange(n, dtype=partner.dtype))
-        # break 2-cycles: smaller id becomes the root
-        two_cycle = (nxt[nxt] == jnp.arange(n)) & (jnp.arange(n) < nxt)
-        nxt = jnp.where(two_cycle, jnp.arange(n), nxt)
-        # pointer doubling to roots (forest depth halves each step)
-        for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
-            nxt = nxt[nxt]
-        new_root = nxt[root]
+        new_root = m[root]
         changed = jnp.any(new_root != root)
         return new_root, changed, it + 1
+
+    def _mate_passes(m, touched, pa, pb, pc, it):
+        for k in range(matchings_per_round):
+            m, touched = match_and_contract(m, touched, pa, pb, pc, False,
+                                            it * matchings_per_round + k)
+        return m
 
     def cond(state):
         _root, changed, it = state
         return changed & (it < max_rounds)
 
-    root0 = jnp.arange(n, dtype=jnp.int32)
+    root0 = ids
     root, _, rounds = jax.lax.while_loop(
         cond, round_body, (root0, jnp.asarray(True), jnp.asarray(0)))
     labels = root.reshape(height, width)
@@ -249,46 +290,69 @@ def _icm_refine(labels: jnp.ndarray, costs: jnp.ndarray,
     return jax.lax.fori_loop(0, sweeps, body, labels)
 
 
-@jax.jit
-def relabel_connected(labels: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def relabel_connected(labels: jnp.ndarray, max_rounds: int = 64) -> jnp.ndarray:
     """Split any disconnected cluster into its connected components and
     relabel every cluster by its smallest pixel index.
 
     Objective-neutral for multicut (no joined edges exist between the parts
     of a disconnected cluster) and restores RAMA's connected-cluster
-    guarantee after local moves. Hooking + pointer-doubling connected
-    components over same-label grid edges.
+    guarantee after local moves.
+
+    Grid-native algorithm: segmented min-scans sweep the root ids along rows
+    and columns (label boundaries reset the scan), iterated to a fixpoint —
+    pure scans/elementwise ops instead of scatter-based hooking (which was
+    the single most expensive op in the original pipeline). Convergence in a
+    few sweeps for real segment shapes; deliberately capped at max_rounds
+    (non-converged spiral components would merely stay split, which is
+    objective-neutral and round-trip safe).
     """
     height, width = labels.shape
-    n = height * width
-    u_np, v_np = _grid_edge_endpoints(height, width)
-    eu = jnp.asarray(u_np)
-    ev = jnp.asarray(v_np)
-    flat = labels.reshape(-1)
-    same = (flat[eu] == flat[ev]) & (eu != ev)
+
+    def seg_min_scan(root, reset, axis, reverse):
+        def combine(a, b):
+            va, _ra = a
+            vb, rb = b
+            return jnp.where(rb, vb, jnp.minimum(va, vb)), a[1] | rb
+
+        out, _ = jax.lax.associative_scan(
+            combine, (root, reset), axis=axis, reverse=reverse)
+        return out
+
+    same_row = jnp.pad(labels[:, 1:] == labels[:, :-1], ((0, 0), (1, 0)))
+    same_col = jnp.pad(labels[1:, :] == labels[:-1, :], ((1, 0), (0, 0)))
 
     def body(state):
-        parent, _changed = state
-        pu = parent[eu]
-        pv = parent[ev]
-        lo = jnp.where(same, jnp.minimum(pu, pv), n)
-        parent2 = parent
-        parent2 = parent2.at[eu].min(jnp.where(same, lo, n).astype(parent.dtype))
-        parent2 = parent2.at[ev].min(jnp.where(same, lo, n).astype(parent.dtype))
-        for _ in range(4):
-            parent2 = parent2[parent2]
-        changed = jnp.any(parent2 != parent)
-        return parent2, changed
+        root, _changed = state
+        r = root
+        r = seg_min_scan(r, ~same_row, axis=1, reverse=False)
+        r = seg_min_scan(r, ~jnp.roll(same_row, -1, axis=1)
+                         .at[:, -1].set(False), axis=1, reverse=True)
+        r = seg_min_scan(r, ~same_col, axis=0, reverse=False)
+        r = seg_min_scan(r, ~jnp.roll(same_col, -1, axis=0)
+                         .at[-1, :].set(False), axis=0, reverse=True)
+        return r, jnp.any(r != root)
 
-    parent0 = jnp.arange(n, dtype=jnp.int32)
-    parent, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (parent0, jnp.asarray(True)))
-    return parent.reshape(height, width)
+    n = height * width
+    root0 = jnp.arange(n, dtype=jnp.int32).reshape(height, width)
+    state = (root0, jnp.asarray(True))
+    it = jnp.asarray(0)
+
+    def cond(s):
+        (_, changed), i = s
+        return changed & (i < max_rounds)
+
+    def step(s):
+        (r, _), i = s
+        return body((r, True)), i + 1
+
+    (root, _), _ = jax.lax.while_loop(cond, step, (state, it))
+    return root
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_rounds", "mode", "icm_sweeps"))
-def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 64,
+def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 16,
                           mode: str = "random_mate",
                           icm_sweeps: int = 8) -> jnp.ndarray:
     """Batched multicut [B, H, W, 2] -> [B, H, W] int32 (true parallelism over

@@ -84,6 +84,35 @@ GENERATORS = {
 }
 
 
+def create_random_patterns(cache_dir, width: int = 1024, height: int = 1024,
+                           per_class: int = 100, seed: int = 0) -> int:
+    """Populate cache_dir/random_patterns with the five compressibility
+    classes x {alpha, no-alpha} (pattern_generator.cpp:11-40: 100 images per
+    class at 1024^2, skipping ones that already exist). Returns the number of
+    images written."""
+    import pathlib
+
+    from image_compression_tpu.io.image_io import write_image
+
+    out_dir = pathlib.Path(cache_dir) / "random_patterns"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    classes = ["repetition", "monochrome", "low_variance", "low_frequency",
+               "row_copies"]
+    idx = 0
+    written = 0
+    for name in classes:
+        for alpha in (True, False):
+            for _ in range(per_class):
+                path = out_dir / f"{idx}.png"
+                if not path.exists():
+                    write_image(path, GENERATORS[name](width, height, alpha,
+                                                       rng))
+                    written += 1
+                idx += 1
+    return written
+
+
 def generate_random_partition(height: int, width: int, num_segments: int,
                               seed: int = 0) -> np.ndarray:
     """Multi-seed BFS region growth -> connected random segmentation

@@ -118,7 +118,9 @@ def test_felzenszwalb_recovers_blocks(rng):
     img = blocky_image(rng, noise=2.0)
     labels = np.asarray(felzenszwalb_labels(jnp.asarray(img), min_size=100))
     uniq = np.unique(labels)
-    assert 2 <= len(uniq) <= 8
+    # the parallel Boruvka variant over-segments slightly vs sequential
+    # Kruskal; 3 plateaus -> a handful of segments
+    assert 2 <= len(uniq) <= 12
     # the three plateau interiors get distinct segments
     assert labels[5, 5] != labels[40, 40]
     assert labels[40, 40] != labels[80, 20]

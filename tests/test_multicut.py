@@ -45,13 +45,13 @@ def test_recovers_planted_rectangles():
     assert len(pairs) == n_clusters(gt) == n_clusters(labels)
 
 
-@pytest.mark.parametrize("mode", ["chain", "mutual", "random_pair"])
+@pytest.mark.parametrize("mode", ["chain", "mutual", "random_mate", "hybrid"])
 def test_recovers_planted_rectangles_all_modes(mode):
     gt = random_rect_partition(16, 16, min_h=4, min_w=4, min_rect_count=4,
                                seed=3)
     signs = partition_to_edge_signs(gt).astype(np.float32)
     labels = np.asarray(multicut_grid(jnp.asarray(signs), mode=mode,
-                                      max_rounds=256))
+                                      max_rounds=64))
     pairs = set(zip(gt.ravel().tolist(), labels.ravel().tolist()))
     assert len(pairs) == n_clusters(gt) == n_clusters(labels)
 
@@ -68,34 +68,26 @@ def test_clusters_are_connected():
         assert num == 1, f"cluster {lab} is disconnected"
 
 
-@pytest.mark.parametrize("seed", range(6))
-def test_near_optimal_vs_brute_force(seed):
-    rng = np.random.default_rng(seed)
-    costs = rng.normal(size=(3, 3, 2)).astype(np.float32)
-    costs[:, -1, 0] = 0.0
-    costs[-1, :, 1] = 0.0
-    labels = np.asarray(multicut_grid(jnp.asarray(costs)))
-    ours = multicut_objective(costs, labels)
-    _opt_labels, opt = brute_force_multicut(costs)
-    baseline = max(multicut_objective(costs, np.zeros((3, 3), int)),  # 1 cluster
-                   0.0)                                               # singletons
-    assert ours >= baseline - 1e-5
-    assert ours <= opt + 1e-5  # sanity: never beat the exact optimum
-    gaps.append((opt - ours, costs))
-
-
-gaps: list = []
-
-
-def test_near_optimal_on_average():
-    """Aggregate check over the seeds above: randomized parallel GAEC + ICM
-    stays within 5% of optimal on average (individual adversarial instances
-    may gap higher; so does sequential GAEC)."""
-    assert len(gaps) == 6, "runs after the parametrized seeds"
-    total_gap = sum(g for g, _ in gaps)
-    pos_total = sum(
-        float(np.clip(c, 0, None)[:, :-1, 0].sum() +
-              np.clip(c, 0, None)[:-1, :, 1].sum()) for _, c in gaps)
+def test_near_optimal_vs_brute_force():
+    """Randomized parallel GAEC + ICM stays within 5% of optimal summed over
+    random tiny instances (individual adversarial instances may gap higher;
+    so does sequential GAEC) and never loses to the trivial partitions."""
+    total_gap = 0.0
+    pos_total = 0.0
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        costs = rng.normal(size=(3, 3, 2)).astype(np.float32)
+        costs[:, -1, 0] = 0.0
+        costs[-1, :, 1] = 0.0
+        labels = np.asarray(multicut_grid(jnp.asarray(costs)))
+        ours = multicut_objective(costs, labels)
+        _opt_labels, opt = brute_force_multicut(costs)
+        baseline = max(multicut_objective(costs, np.zeros((3, 3), int)), 0.0)
+        assert ours >= baseline - 1e-5
+        assert ours <= opt + 1e-5  # sanity: never beat the exact optimum
+        total_gap += opt - ours
+        pos = np.clip(costs, 0, None)
+        pos_total += float(pos[:, :-1, 0].sum() + pos[:-1, :, 1].sum())
     assert total_gap <= 0.05 * pos_total, (total_gap, pos_total)
 
 
