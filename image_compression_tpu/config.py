@@ -47,8 +47,8 @@ class RewardConfig:
 class MulticutConfig:
     """Grid multicut solver settings (replaces RAMA's multicut_solver_options)."""
 
-    max_rounds: int = 16          # outer re-aggregation rounds (fixpoint bound)
-    mode: str = "random_mate"          # chain | mutual | random_mate | hybrid
+    max_rounds: int = 8           # full-phase re-aggregation rounds (fixpoint bound)
+    mode: str = "chain"           # chain | mutual | random_mate | hybrid
     icm_sweeps: int = 8           # local-move refinement sweeps after contraction
     matchings_per_round: int = 4  # matching passes per cost re-aggregation
 

@@ -36,6 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from image_compression_tpu.ops.multicut_tiles import (
+    boundary_edges, tile_presolve)
+
 NEG_INF = -jnp.inf
 
 
@@ -55,69 +58,29 @@ def _grid_edge_endpoints(height: int, width: int) -> tuple[np.ndarray, np.ndarra
     return u.reshape(-1), v.reshape(-1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_rounds", "mode", "icm_sweeps",
-                                    "matchings_per_round", "return_rounds"))
-def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 16,
-                  mode: str = "random_mate", icm_sweeps: int = 8,
-                  matchings_per_round: int = 4,
-                  return_rounds: bool = False) -> jnp.ndarray:
-    """Solve multicut on the 4-connected grid.
+def _contract_rounds(root0, eu, ev, w, n, *, max_rounds, mode,
+                     matchings_per_round, salt_base):
+    """Sorted GAEC rounds over an arbitrary static edge list.
 
-    Greedy contraction (GAEC) followed by checkerboard single-pixel local
-    moves (the TPU-friendly analogue of RAMA's improvement sweeps) and a
-    connectivity-restoring relabel.
+    Each round pays for ONE sorted cost re-aggregation over the edge list and
+    runs `matchings_per_round` matching+contraction passes against that pair
+    table; a pass may only merge regions still untouched this round, so every
+    accepted merge uses its exact aggregated cost (the same amortization RAMA
+    uses between cost recomputations).
 
-    Each outer round pays for ONE sorted cost re-aggregation and then runs
-    `matchings_per_round` matching+contraction passes against that (slightly
-    staling) pair table — the same amortization RAMA uses between cost
-    recomputations.
-
-    Args:
-      costs_hw2: [H, W, 2] float edge costs (padding slots ignored).
-      max_rounds: static upper bound on outer (re-aggregation) rounds.
-      mode: contraction scheme per matching pass --
-        "chain":       hook every region to its best attractive neighbor and
-                       contract whole components (fastest, overshoots chains);
-        "mutual":      mutual-best matching only (sequential-GAEC quality,
-                       slow convergence);
-        "random_mate": mutual pairs plus coin-flipped tail->head hooks
-                       (chain-free, O(log n) expected rounds) -- default;
-        "hybrid":      chain for the first outer round (cheap coarsening of
-                       the noisy fine scale), then random_mate.
-      icm_sweeps: local-move refinement sweeps after contraction (0 = off).
-      matchings_per_round: matching passes per cost re-aggregation.
-
-    Returns:
-      labels: [H, W] int32; cluster id = smallest pixel index in the cluster.
+    Returns (root, rounds_used).
     """
-    if mode not in ("chain", "mutual", "random_mate", "hybrid"):
-        raise ValueError(f"unknown mode: {mode}")
-    height, width = costs_hw2.shape[:2]
-    n = height * width
-    u_np, v_np = _grid_edge_endpoints(height, width)
-    eu = jnp.asarray(u_np)
-    ev = jnp.asarray(v_np)
-    w = costs_hw2.reshape(-1).astype(jnp.float32)
     num_edges = w.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
     log_n = int(np.ceil(np.log2(max(n, 2)))) + 1
 
     def match_and_contract(m, touched, pa, pb, pc, chain: bool, salt):
-        """One matching pass against the pair table, composed into mapping m.
-
-        Only pairs whose BOTH regions are still untouched this round are
-        candidates, so every accepted merge uses its exact aggregated cost
-        (stale-cost merges wait for the next re-aggregation). Returns the
-        updated (mapping, touched)."""
         pa_c = jnp.minimum(pa, n - 1)
         pb_c = jnp.minimum(pb, n - 1)
-        sa = jnp.where(pa < n, pa, n)
-        sb = jnp.where(pb < n, pb, n)
-        act = (sa < n) & (sb < n) & ~touched[pa_c] & ~touched[pb_c]
+        act = (pa < n) & (pb < n) & ~touched[pa_c] & ~touched[pb_c]
 
-        src = jnp.concatenate([jnp.where(act, sa, n), jnp.where(act, sb, n)])
-        dst = jnp.concatenate([jnp.where(act, sb, n), jnp.where(act, sa, n)])
+        src = jnp.concatenate([jnp.where(act, pa, n), jnp.where(act, pb, n)])
+        dst = jnp.concatenate([jnp.where(act, pb, n), jnp.where(act, pa, n)])
         val = jnp.concatenate([pc, pc])
         valid = src < n
         src_c = jnp.where(valid, src, 0)
@@ -152,6 +115,13 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 16,
         received = jnp.zeros((n,), bool).at[partner_safe].max(merge)
         touched = touched | merge | received
         return nxt[m], touched
+
+    def mate_passes(m, touched, pa, pb, pc, it):
+        for k in range(matchings_per_round):
+            m, touched = match_and_contract(
+                m, touched, pa, pb, pc, False,
+                salt_base + it * matchings_per_round + k)
+        return m
 
     def round_body(state):
         root, _changed, it = state
@@ -193,41 +163,110 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 16,
         pb = jnp.where(run_ok, b_s, n)
         pc = jnp.where(run_ok, pair_cost[pair_id], 0.0)
 
-        # --- 2+3. matching passes against this table ------------------------
+        # --- 2+3. matching passes against this table -----------------------
         m = ids
         touched = jnp.zeros((n,), bool)
         if mode == "chain":
-            m, _ = match_and_contract(m, touched, pa, pb, pc, True, it)
+            m, _ = match_and_contract(m, touched, pa, pb, pc, True,
+                                      salt_base + it)
         elif mode == "hybrid":
             m = jax.lax.cond(
                 it == 0,
                 lambda m: match_and_contract(m, touched, pa, pb, pc,
-                                             True, it)[0],
-                lambda m: _mate_passes(m, touched, pa, pb, pc, it),
+                                             True, salt_base + it)[0],
+                lambda m: mate_passes(m, touched, pa, pb, pc, it),
                 m)
         else:
-            m = _mate_passes(m, touched, pa, pb, pc, it)
+            m = mate_passes(m, touched, pa, pb, pc, it)
 
         new_root = m[root]
         changed = jnp.any(new_root != root)
         return new_root, changed, it + 1
 
-    def _mate_passes(m, touched, pa, pb, pc, it):
-        for k in range(matchings_per_round):
-            m, touched = match_and_contract(m, touched, pa, pb, pc, False,
-                                            it * matchings_per_round + k)
-        return m
-
     def cond(state):
         _root, changed, it = state
         return changed & (it < max_rounds)
 
-    root0 = ids
     root, _, rounds = jax.lax.while_loop(
         cond, round_body, (root0, jnp.asarray(True), jnp.asarray(0)))
+    return root, rounds
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_rounds", "mode", "icm_sweeps",
+                                    "matchings_per_round", "tile",
+                                    "presolve_rounds", "boundary_rounds",
+                                    "return_rounds"))
+def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 8,
+                  mode: str = "chain", icm_sweeps: int = 8,
+                  matchings_per_round: int = 4, tile: int = 16,
+                  presolve_rounds: int = 6, boundary_rounds: int = 8,
+                  return_rounds: bool = False) -> jnp.ndarray:
+    """Solve multicut on the 4-connected grid.
+
+    Multilevel greedy additive edge contraction (GAEC), the TPU mapping of
+    RAMA's scheme, followed by checkerboard single-pixel local moves (the
+    analogue of RAMA's improvement sweeps) and a connectivity-restoring
+    relabel:
+
+      1. dense tile presolve: exact intra-tile GAEC with per-tile pair-cost
+         matrices on the MXU (ops/multicut_tiles.py) — no sorts;
+      2. boundary rounds: sorted GAEC over only the tile-crossing edges
+         (a small static edge list), merging regions across tiles;
+      3. full rounds: sorted GAEC over all edges with exact aggregation —
+         the final word on every remaining merge.
+
+    Args:
+      costs_hw2: [H, W, 2] float edge costs (padding slots ignored).
+      max_rounds: static bound on full-edge-list rounds (phase 3).
+      mode: contraction scheme per matching pass --
+        "chain":       hook every region to its best attractive neighbor and
+                       contract whole components -- default: fastest
+                       convergence; its occasional chain overshoot is
+                       repaired by the ICM sweeps (measured objective within
+                       0.1% of random_mate on realistic cost fields);
+        "mutual":      mutual-best matching only;
+        "random_mate": mutual pairs plus coin-flipped tail->head hooks
+                       (chain-free, exact-cost merges only);
+        "hybrid":      chain for the first round of each phase, then
+                       random_mate.
+      icm_sweeps: local-move refinement sweeps after contraction (0 = off).
+      matchings_per_round: matching passes per cost re-aggregation.
+      tile: presolve tile size (0 disables; must divide H and W).
+      presolve_rounds / boundary_rounds: static bounds for phases 1 / 2.
+
+    Returns:
+      labels: [H, W] int32; cluster id = smallest pixel index in the cluster.
+    """
+    if mode not in ("chain", "mutual", "random_mate", "hybrid"):
+        raise ValueError(f"unknown mode: {mode}")
+    height, width = costs_hw2.shape[:2]
+    n = height * width
+    costs_f32 = costs_hw2.astype(jnp.float32)
+    w_all = costs_f32.reshape(-1)
+
+    use_presolve = (tile > 1 and height % tile == 0 and width % tile == 0
+                    and height > tile and width > tile and presolve_rounds > 0)
+    if use_presolve:
+        root = tile_presolve(costs_f32, tile, presolve_rounds).reshape(-1)
+        if boundary_rounds > 0:
+            bu, bv, bslot = boundary_edges(height, width, tile)
+            root, _ = _contract_rounds(
+                root, jnp.asarray(bu), jnp.asarray(bv), w_all[jnp.asarray(bslot)],
+                n, max_rounds=boundary_rounds, mode=mode,
+                matchings_per_round=matchings_per_round, salt_base=50_000)
+    else:
+        root = jnp.arange(n, dtype=jnp.int32)
+
+    u_np, v_np = _grid_edge_endpoints(height, width)
+    root, rounds = _contract_rounds(
+        root, jnp.asarray(u_np), jnp.asarray(v_np), w_all, n,
+        max_rounds=max_rounds, mode=mode,
+        matchings_per_round=matchings_per_round, salt_base=0)
+
     labels = root.reshape(height, width)
     if icm_sweeps > 0:
-        labels = _icm_refine(labels, costs_hw2.astype(jnp.float32), icm_sweeps)
+        labels = _icm_refine(labels, costs_f32, icm_sweeps)
         labels = relabel_connected(labels)
     if return_rounds:
         return labels, rounds
@@ -352,8 +391,8 @@ def relabel_connected(labels: jnp.ndarray, max_rounds: int = 64) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("max_rounds", "mode", "icm_sweeps"))
-def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 16,
-                          mode: str = "random_mate",
+def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 8,
+                          mode: str = "chain",
                           icm_sweeps: int = 8) -> jnp.ndarray:
     """Batched multicut [B, H, W, 2] -> [B, H, W] int32 (true parallelism over
     the batch, unlike rama_wrapper.cu:102-124's sequential loop)."""
