@@ -45,7 +45,7 @@ def main():
         out = model.apply(params, images)
         mu_raw, _ = split_model_output(out)
         mu = squash_mu(mu_raw) * edge_validity_masks(size, size)
-        labels = jax.vmap(lambda c: multicut_grid(c, icm_sweeps=2))(mu)
+        labels = jax.vmap(multicut_grid)(mu)
         stats = jax.vmap(lambda l: segment_stats(l, 64))(labels)
         return labels, stats.counts
 

@@ -58,7 +58,7 @@ def _grid_edge_endpoints(height: int, width: int) -> tuple[np.ndarray, np.ndarra
     return u.reshape(-1), v.reshape(-1)
 
 
-def _contract_rounds(root0, eu, ev, w, n, *, max_rounds, mode,
+def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
                      matchings_per_round, salt_base):
     """Sorted GAEC rounds over an arbitrary static edge list.
 
@@ -67,6 +67,10 @@ def _contract_rounds(root0, eu, ev, w, n, *, max_rounds, mode,
     table; a pass may only merge regions still untouched this round, so every
     accepted merge uses its exact aggregated cost (the same amortization RAMA
     uses between cost recomputations).
+
+    endpoints_fn(root) -> (ru, rv): region ids of each edge's endpoints.
+    Callers provide plane-shift implementations where possible — gathers with
+    single-element rows are serialized on TPU and dominated the runtime.
 
     Returns (root, rounds_used).
     """
@@ -107,9 +111,12 @@ def _contract_rounds(root0, eu, ev, w, n, *, max_rounds, mode,
         nxt = jnp.where(merge, partner, ids)
         two_cycle = (nxt[nxt] == ids) & (ids < nxt)
         nxt = jnp.where(two_cycle, ids, nxt)
-        # matching modes build stars (depth <= 4 -> 2 doublings); chain mode
-        # can build deep trees
-        for _ in range(log_n if chain else 2):
+        # matching modes build stars (depth <= 4 -> 2 doublings). Chain mode
+        # can build deep trees, but single-element-row gathers are serialized
+        # on TPU, so cap at 4 doublings (depth 16): rare deeper chains simply
+        # finish contracting in the next outer round (still consistent — the
+        # intermediate ids keep acting as region ids).
+        for _ in range(min(log_n, 4) if chain else 2):
             nxt = nxt[nxt]
         # a region is touched if it merged away or something merged into it
         received = jnp.zeros((n,), bool).at[partner_safe].max(merge)
@@ -127,8 +134,7 @@ def _contract_rounds(root0, eu, ev, w, n, *, max_rounds, mode,
         root, _changed, it = state
 
         # --- 1. aggregate costs per adjacent region pair -------------------
-        ru = root[eu]
-        rv = root[ev]
+        ru, rv = endpoints_fn(root)
         active = ru != rv
         a = jnp.where(active, jnp.minimum(ru, rv), n)   # canonical pair (a, b)
         b = jnp.where(active, jnp.maximum(ru, rv), n)
@@ -197,7 +203,7 @@ def _contract_rounds(root0, eu, ev, w, n, *, max_rounds, mode,
                                     "matchings_per_round", "tile",
                                     "presolve_rounds", "boundary_rounds",
                                     "return_rounds"))
-def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 8,
+def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 4,
                   mode: str = "chain", icm_sweeps: int = 8,
                   matchings_per_round: int = 4, tile: int = 16,
                   presolve_rounds: int = 6, boundary_rounds: int = 8,
@@ -251,16 +257,28 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 8,
         root = tile_presolve(costs_f32, tile, presolve_rounds).reshape(-1)
         if boundary_rounds > 0:
             bu, bv, bslot = boundary_edges(height, width, tile)
+            bu_j = jnp.asarray(bu)
+            bv_j = jnp.asarray(bv)
             root, _ = _contract_rounds(
-                root, jnp.asarray(bu), jnp.asarray(bv), w_all[jnp.asarray(bslot)],
+                root, lambda r: (r[bu_j], r[bv_j]), w_all[jnp.asarray(bslot)],
                 n, max_rounds=boundary_rounds, mode=mode,
                 matchings_per_round=matchings_per_round, salt_base=50_000)
     else:
         root = jnp.arange(n, dtype=jnp.int32)
 
-    u_np, v_np = _grid_edge_endpoints(height, width)
+    def grid_endpoints(r):
+        """Endpoint region ids for the full plane-ordered edge list via
+        shifts (no gathers). Slot order matches _grid_edge_endpoints:
+        (y, x, plane); padding slots resolve to ru == rv."""
+        img = r.reshape(height, width)
+        right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        down = jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+        ru = jnp.stack([img, img], axis=-1).reshape(-1)
+        rv = jnp.stack([right, down], axis=-1).reshape(-1)
+        return ru, rv
+
     root, rounds = _contract_rounds(
-        root, jnp.asarray(u_np), jnp.asarray(v_np), w_all, n,
+        root, grid_endpoints, w_all, n,
         max_rounds=max_rounds, mode=mode,
         matchings_per_round=matchings_per_round, salt_base=0)
 
@@ -391,7 +409,7 @@ def relabel_connected(labels: jnp.ndarray, max_rounds: int = 64) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("max_rounds", "mode", "icm_sweeps"))
-def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 8,
+def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 4,
                           mode: str = "chain",
                           icm_sweeps: int = 8) -> jnp.ndarray:
     """Batched multicut [B, H, W, 2] -> [B, H, W] int32 (true parallelism over

@@ -94,24 +94,24 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
     def residual(pred):
         return jnp.mod(cur - pred, 256)
 
-    res5 = jnp.stack([
-        residual(jnp.zeros_like(cur)),        # None
-        residual(left),                       # Sub
-        residual(up),                         # Up
-        residual((left + up) // 2),           # Avg
-        residual(_paeth(left, up, upleft)),   # Paeth
-    ])  # [5, H, W, C]
+    preds = [jnp.zeros_like(cur), left, up, (left + up) // 2,
+             _paeth(left, up, upleft)]
 
+    # per-row filter costs reduced immediately (never stack the residual
+    # planes: a [5, H, W, C] temp per segment slot OOMs under vmap)
     if adaptive_filter:
-        costs = jnp.sum(_as_int8_abs(res5) * in_bbox[None, ..., None],
-                        axis=(2, 3))          # [5, H]
+        costs = jnp.stack([
+            jnp.sum(_as_int8_abs(residual(p)) * in_bbox[..., None],
+                    axis=(1, 2)) for p in preds])  # [5, H]
         filter_id = jnp.argmin(costs, axis=0)  # [H]; argmin takes lowest index
     else:
         filter_id = jnp.full((height,), 4, jnp.int32)
 
-    idx = jnp.broadcast_to(filter_id[None, :, None, None],
-                           (1,) + res5.shape[1:])
-    res = jnp.take_along_axis(res5, idx, axis=0)[0]  # [H, W, C]
+    # selected residual via elementwise select (fuses; no gather)
+    fid = filter_id[:, None, None]
+    res = residual(preds[0])
+    for f in (1, 2, 3, 4):
+        res = jnp.where(fid == f, residual(preds[f]), res)  # [H, W, C]
 
     # --- entropy from per-channel histograms over the bbox ----------------
     chan = jax.lax.broadcasted_iota(jnp.int32, res.shape, 2)
@@ -180,7 +180,7 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
 @functools.partial(jax.jit,
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter"))
+                                    "adaptive_filter", "chunk"))
 def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                counts: jnp.ndarray, bboxes: jnp.ndarray,
                                valid: jnp.ndarray, *, min_pixels: int = 1,
@@ -188,13 +188,18 @@ def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                b_match_token: float = 18.0,
                                gamma: float = 0.1,
                                overhead_base: float = 9.308622,
-                               adaptive_filter: bool = True) -> jnp.ndarray:
+                               adaptive_filter: bool = True,
+                               chunk: int = 8) -> jnp.ndarray:
     """Estimated PNG sizes for all segment slots of one image.
 
     img_u8: [H, W, C] uint8/int; inverse: [H, W] compact labels; counts
     [k_max]; bboxes [k_max, 4] (x0, y0, x1, y1); valid [k_max].
     Returns [k_max] float32 (0 for empty/skipped slots). Defaults mirror
     compute_rewards.cuh:9-16.
+
+    Segment slots are processed `chunk` at a time (vmap inside lax.map) to
+    bound live memory: each slot's working set is a handful of full-image
+    planes, so a full k_max vmap would blow HBM on batched 256x256 inputs.
     """
     k_max = counts.shape[0]
     img_i32 = img_u8.astype(jnp.int32)
@@ -202,6 +207,16 @@ def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
         _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
         overhead_base=overhead_base, adaptive_filter=adaptive_filter)
-    return jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))(
-        img_i32, inverse, jnp.arange(k_max, dtype=jnp.int32), bboxes,
-        counts, valid)
+    vfn = jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))
+
+    if k_max % chunk != 0 or k_max == chunk:
+        return vfn(img_i32, inverse, jnp.arange(k_max, dtype=jnp.int32),
+                   bboxes, counts, valid)
+
+    n_chunks = k_max // chunk
+    ks = jnp.arange(k_max, dtype=jnp.int32).reshape(n_chunks, chunk)
+    sizes = jax.lax.map(
+        lambda args: vfn(img_i32, inverse, *args),
+        (ks, bboxes.reshape(n_chunks, chunk, 4),
+         counts.reshape(n_chunks, chunk), valid.reshape(n_chunks, chunk)))
+    return sizes.reshape(k_max)
