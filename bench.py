@@ -49,15 +49,19 @@ def main():
         stats = jax.vmap(lambda l: segment_stats(l, 64))(labels)
         return labels, stats.counts
 
-    # warmup/compile
+    # warmup/compile + full sync via scalar fetch (block_until_ready does not
+    # reliably drain the queue on every backend; a host fetch of a scalar
+    # depending on the outputs does)
     labels, counts = compress_step(params, images)
-    jax.block_until_ready(labels)
+    float(jnp.sum(counts))
 
     n_iters = 5
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        labels, counts = compress_step(params, images)
-    jax.block_until_ready(labels)
+    acc = jnp.float32(0)
+    for i in range(n_iters):
+        labels, counts = compress_step(params, images + 0.0001 * i)
+        acc = acc + jnp.sum(counts).astype(jnp.float32)
+    float(acc)  # waits for every queued step
     dt = (time.perf_counter() - t0) / n_iters
 
     images_per_sec = batch / dt

