@@ -59,7 +59,7 @@ def test_all_positive_contracts_strongly(rng):
     full solver yields one cluster)."""
     costs = jnp.ones((32, 32, 2))
     labels = np.asarray(tile_presolve(costs, 16, 6))
-    assert len(np.unique(labels)) <= 4 * 24
+    assert len(np.unique(labels)) <= 4 * 40
     check_valid(labels, 16)
 
 
