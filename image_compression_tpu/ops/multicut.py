@@ -206,7 +206,7 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
 def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 4,
                   mode: str = "chain", icm_sweeps: int = 8,
                   matchings_per_round: int = 4, tile: int = 16,
-                  presolve_rounds: int = 6, boundary_rounds: int = 8,
+                  presolve_rounds: int = 4, boundary_rounds: int = 4,
                   return_rounds: bool = False) -> jnp.ndarray:
     """Solve multicut on the 4-connected grid.
 

@@ -67,16 +67,22 @@ def tile_presolve(costs_hw2: jnp.ndarray, tile: int = 16,
     t_count = th * tw
     s = tile * tile
 
-    u_np, v_np = _tile_local_edges(tile)
-    u_loc = jnp.asarray(u_np)
-    v_loc = jnp.asarray(v_np)
     w = _tile_weights(costs_hw2.astype(jnp.float32), tile)  # [T, Et]
 
     ids = jnp.arange(s, dtype=jnp.int32)
 
+    def endpoints(root):
+        # plane slices instead of gathers (TPU serializes 1-element-row
+        # gathers); edge order matches _tile_local_edges
+        r3 = root.reshape(t_count, tile, tile)
+        ru = jnp.concatenate([r3[:, :, :-1].reshape(t_count, -1),
+                              r3[:, :-1, :].reshape(t_count, -1)], axis=1)
+        rv = jnp.concatenate([r3[:, :, 1:].reshape(t_count, -1),
+                              r3[:, 1:, :].reshape(t_count, -1)], axis=1)
+        return ru, rv
+
     def one_round(r, root):
-        ru = jnp.take(root, u_loc, axis=1)  # [T, Et]
-        rv = jnp.take(root, v_loc, axis=1)
+        ru, rv = endpoints(root)  # [T, Et]
         active = ru != rv
         a = jnp.minimum(ru, rv)
         b = jnp.maximum(ru, rv)

@@ -220,3 +220,120 @@ def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
         (ks, bboxes.reshape(n_chunks, chunk, 4),
          counts.reshape(n_chunks, chunk), valid.reshape(n_chunks, chunk)))
     return sizes.reshape(k_max)
+
+def _classify_and_pack(bboxes, valid, class_sizes, caps, k_max):
+    """Assign each slot the smallest crop class that fits its bbox, spilling
+    to larger classes when a class cap is exceeded. Returns (effective_class
+    [k_max], rank-within-class [k_max] 1-based, top-overflow mask)."""
+    w = bboxes[:, 2] - bboxes[:, 0] + 1
+    h = bboxes[:, 3] - bboxes[:, 1] + 1
+    side = jnp.maximum(w, h)
+    n_classes = len(class_sizes)
+    cls = jnp.full((k_max,), n_classes - 1, jnp.int32)
+    for c in range(n_classes - 1, -1, -1):
+        cls = jnp.where(valid & (side <= class_sizes[c]), c, cls)
+    cls = jnp.where(valid, cls, n_classes)  # invalid slots: no class
+
+    rank = jnp.zeros((k_max,), jnp.int32)
+    for c in range(n_classes):
+        in_c = cls == c
+        r = jnp.cumsum(in_c.astype(jnp.int32)) * in_c
+        if c < n_classes - 1:
+            spill = in_c & (r > caps[c])
+            cls = jnp.where(spill, c + 1, cls)
+            r = jnp.where(spill, 0, r)
+        rank = jnp.where(in_c & (r > 0), r, rank)
+    overflow = (cls == n_classes - 1) & (rank > caps[n_classes - 1])
+    return cls, rank, overflow
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_pixels", "l_min", "beta",
+                                    "b_match_token", "gamma", "overhead_base",
+                                    "adaptive_filter"))
+def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
+                                    counts: jnp.ndarray, bboxes: jnp.ndarray,
+                                    valid: jnp.ndarray, *,
+                                    min_pixels: int = 1, l_min: int = 4,
+                                    beta: float = 0.012167,
+                                    b_match_token: float = 18.0,
+                                    gamma: float = 0.1,
+                                    overhead_base: float = 9.308622,
+                                    adaptive_filter: bool = True) -> jnp.ndarray:
+    """Size-bucketed estimator: identical math to estimate_segment_png_sizes,
+    but each segment is evaluated inside a static square crop of the smallest
+    class that contains its bbox (dynamic_slice), so per-slot work scales
+    with the bbox instead of the full image — the flat version's k_max
+    full-image passes dominated the RL step.
+
+    Class sizes are powers of two from 32 up to the image size; per-class
+    slot caps spill upward, and slots beyond the largest class's cap fall
+    back to a literal-only bound (8 bits/byte, i.e. S = overhead + h + N).
+    Exactness: a crop that contains the bbox yields bit-identical filter
+    costs, histograms, and run statistics (all estimator terms only read
+    bbox-internal values) — asserted against the flat version in tests.
+    """
+    height, width, _channels = img_u8.shape
+    k_max = counts.shape[0]
+    img_i32 = img_u8.astype(jnp.int32)
+
+    # square classes must fit both dims; the last class is the full image
+    class_sizes = [s for s in (32, 64, 128, 256, 512)
+                   if 32 <= s < min(height, width)] + [max(height, width)]
+    class_crops = [(min(s, height), min(s, width)) for s in class_sizes]
+    n_classes = len(class_sizes)
+    caps = []
+    for i, s in enumerate(class_sizes):
+        if i == n_classes - 1:
+            # full-image slots are the expensive ones; real segmentations
+            # rarely have more than a few near-full-size segments
+            caps.append(max(2, k_max // 16))
+        else:
+            caps.append(max(4, k_max // (2 ** i)))
+
+    cls, rank, overflow = _classify_and_pack(bboxes, valid, class_sizes,
+                                             caps, k_max)
+
+    fn = functools.partial(
+        _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
+        b_match_token=b_match_token, gamma=gamma,
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+
+    sizes = jnp.zeros((k_max,), jnp.float32)
+    slot_ids = jnp.arange(k_max, dtype=jnp.int32)
+
+    for c, (crop_h, crop_w) in enumerate(class_crops):
+        cap = caps[c]
+        in_c = cls == c
+        # slot ids of this class's members in rank order, padded with -1
+        order = jnp.argsort(jnp.where(in_c, rank, k_max + 1))
+        members = jnp.where(
+            jnp.arange(k_max) < cap,
+            jnp.where(in_c[order], order, -1), -1)[:cap].astype(jnp.int32)
+
+        def one(slot):
+            ok = slot >= 0
+            slot_c = jnp.maximum(slot, 0)
+            bb = bboxes[slot_c]
+            y0 = jnp.clip(bb[1], 0, height - crop_h)
+            x0 = jnp.clip(bb[0], 0, width - crop_w)
+            img_crop = jax.lax.dynamic_slice(
+                img_i32, (y0, x0, 0), (crop_h, crop_w, img_i32.shape[2]))
+            inv_crop = jax.lax.dynamic_slice(inverse, (y0, x0),
+                                             (crop_h, crop_w))
+            bb_local = bb - jnp.stack([x0, y0, x0, y0])
+            return fn(img_crop, inv_crop, slot_c, bb_local, counts[slot_c],
+                      valid[slot_c] & ok)
+
+        vals = jax.vmap(one)(members)
+        sizes = sizes.at[jnp.where(members >= 0, members, k_max)].add(
+            vals, mode="drop")
+
+    # top-class overflow: literal-only upper bound (max-entropy bytes)
+    w = (bboxes[:, 2] - bboxes[:, 0] + 1).astype(jnp.float32)
+    h = (bboxes[:, 3] - bboxes[:, 1] + 1).astype(jnp.float32)
+    n_total = w * h * img_i32.shape[2]
+    fallback = overhead_base + h + n_total * (8.0 + beta) / 8.0
+    ok_fb = overflow & (counts >= min_pixels)
+    sizes = jnp.where(ok_fb, fallback, sizes)
+    return jnp.where(valid, sizes, 0.0)

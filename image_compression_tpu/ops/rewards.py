@@ -23,7 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from image_compression_tpu.ops.png_estimator import estimate_segment_png_sizes
+from image_compression_tpu.ops.png_estimator import (
+    estimate_segment_png_sizes, estimate_segment_png_sizes_fast)
 from image_compression_tpu.ops.segment_stats import segment_stats
 
 
@@ -37,7 +38,7 @@ def to_rgba_u8(images_f01: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit,
                    static_argnames=("k_max", "min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter", "lam"))
+                                    "adaptive_filter", "lam", "fast"))
 def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             image_sizes_b: jnp.ndarray, *, k_max: int = 64,
                             min_pixels: int = 1, l_min: int = 4,
@@ -45,15 +46,19 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             b_match_token: float = 18.0, gamma: float = 0.1,
                             overhead_base: float = 9.308622,
                             adaptive_filter: bool = True,
-                            lam: float = 0.5) -> jnp.ndarray:
+                            lam: float = 0.5,
+                            fast: bool = True) -> jnp.ndarray:
     """images [B, H, W, 3] float [0,1]; labels [B, H, W] int; sizes [B]
     (on-disk byte counts). Returns rewards [B] float32. Defaults mirror
     compute_rewards.cuh:5-17."""
     imgs_rgba = to_rgba_u8(images_f01)
 
+    estimator = (estimate_segment_png_sizes_fast if fast
+                 else estimate_segment_png_sizes)
+
     def one(img, labels, size):
         stats = segment_stats(labels, k_max)
-        seg_sizes = estimate_segment_png_sizes(
+        seg_sizes = estimator(
             img, stats.inverse, stats.counts, stats.bboxes, stats.valid,
             min_pixels=min_pixels, l_min=l_min, beta=beta,
             b_match_token=b_match_token, gamma=gamma,

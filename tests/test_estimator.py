@@ -208,3 +208,44 @@ def test_min_pixels_skip(rng):
     # compact id 1 is the single-pixel segment (label value 1 sorts second)
     assert float(sizes[1]) == 0.0
     assert float(sizes[0]) > 0.0
+
+
+def test_fast_estimator_matches_flat(rng):
+    """Bucketed crops yield bit-identical estimates when no slot overflows
+    the class caps (connected, compact segments)."""
+    from image_compression_tpu.ops.png_estimator import (
+        estimate_segment_png_sizes_fast)
+    from image_compression_tpu.utils.random_partition import (
+        random_rect_partition)
+
+    img = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    labels = random_rect_partition(64, 64, min_h=8, min_w=8,
+                                   min_rect_count=5, seed=3)
+    stats = segment_stats(jnp.asarray(labels), 16)
+    flat = np.asarray(estimate_segment_png_sizes(
+        jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+        stats.valid))
+    fast = np.asarray(estimate_segment_png_sizes_fast(
+        jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+        stats.valid))
+    np.testing.assert_allclose(fast, flat, rtol=1e-5)
+
+
+def test_fast_estimator_overflow_upper_bound(rng):
+    """Slots beyond the top class cap get the literal-only bound, which must
+    never undercut the exact estimate."""
+    from image_compression_tpu.ops.png_estimator import (
+        estimate_segment_png_sizes_fast)
+
+    img = rng.integers(0, 256, (96, 96, 4), np.uint8)
+    # many disconnected label classes with near-full-image bboxes
+    base = rng.integers(0, 12, (6, 6))
+    labels = np.kron(base, np.ones((16, 16), int))
+    stats = segment_stats(jnp.asarray(labels), 16)
+    flat = np.asarray(estimate_segment_png_sizes(
+        jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+        stats.valid))
+    fast = np.asarray(estimate_segment_png_sizes_fast(
+        jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+        stats.valid))
+    assert (fast >= flat - 1e-3).all()
