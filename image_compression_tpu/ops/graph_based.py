@@ -65,7 +65,7 @@ def _edge_weights(img: jnp.ndarray) -> jnp.ndarray:
                                              "max_rounds"))
 def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
                         k: float = 100.0, min_size: int = 250,
-                        max_rounds: int = 64) -> jnp.ndarray:
+                        max_rounds: int = 48) -> jnp.ndarray:
     """One image [H, W, C] float [0,1] -> labels [H, W] int32.
 
     Defaults mirror graph_based_edge.h:10-15.
@@ -78,28 +78,61 @@ def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
         gaussian_blur(jnp.moveaxis(img, -1, 0), ksize, sigma), 0, -1)
 
     u_np, v_np = _grid8_endpoints(height, width)
-    eu = jnp.asarray(u_np)
-    ev = jnp.asarray(v_np)
+    eu_np_eq_ev = (u_np == v_np)
     w = _edge_weights(img)
-    w = jnp.where(eu == ev, BIG, w)
+    w = jnp.where(jnp.asarray(eu_np_eq_ev), BIG, w)
     num_edges = w.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
 
+    def endpoints(root):
+        """Endpoint region ids for the 8-connected edge list via plane
+        shifts (no gathers; TPU serializes 1-element-row gathers). Slot
+        order matches _grid8_endpoints: (y, x, dir) with dirs (right, down,
+        down-right, down-left); padding slots resolve to ru == rv."""
+        im = root.reshape(height, width)
+
+        def shifted(dy, dx):
+            pad = ((0, max(0, dy)), (max(0, -dx), max(0, dx)))
+            out = jnp.pad(im, pad, mode="edge")
+            return out[dy:dy + height, max(0, dx):max(0, dx) + width]
+
+        tgts = [shifted(0, 1), shifted(1, 0), shifted(1, 1), shifted(1, -1)]
+        # out-of-range targets must equal the source (inactive): rebuild the
+        # same masking as _grid8_endpoints
+        ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        masks = [xs + 1 < width, ys + 1 < height,
+                 (ys + 1 < height) & (xs + 1 < width),
+                 (ys + 1 < height) & (xs > 0)]
+        rv = jnp.stack([jnp.where(m, t, im) for m, t in zip(masks, tgts)],
+                       axis=-1).reshape(-1)
+        ru = jnp.stack([im] * 4, axis=-1).reshape(-1)
+        return ru, rv
+
     def best_neighbor(root):
         """Min-weight outgoing pair per region: (best_w, partner)."""
-        ru = root[eu]
-        rv = root[ev]
+        ru, rv = endpoints(root)
         active = ru != rv
         a = jnp.where(active, jnp.minimum(ru, rv), n)
         b = jnp.where(active, jnp.maximum(ru, rv), n)
         we = jnp.where(active, w, BIG)
-        a_s, b_s, w_s = jax.lax.sort((a, b, we), num_keys=3)
+        if n <= (1 << 16):
+            key = jnp.where(active,
+                            a.astype(jnp.uint32) * jnp.uint32(n)
+                            + b.astype(jnp.uint32),
+                            jnp.uint32(0xFFFFFFFF))
+            key_s, w_s = jax.lax.sort((key, we), num_keys=2)
+            a_s = (key_s // jnp.uint32(n)).astype(jnp.int32)
+            b_s = (key_s % jnp.uint32(n)).astype(jnp.int32)
+        else:
+            a_s, b_s, w_s = jax.lax.sort((a, b, we), num_keys=3)
         is_start = jnp.concatenate([
             jnp.ones((1,), bool),
             (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
         # sorted by (a, b, w): the run start holds the pair's min weight
-        pa = jnp.where(is_start & (a_s < n), a_s, n)
-        pb = jnp.where(is_start & (a_s < n), b_s, n)
+        run_ok = is_start & (a_s < b_s) & (b_s < n)
+        pa = jnp.where(run_ok, a_s, n)
+        pb = jnp.where(run_ok, b_s, n)
         pw = w_s
         src = jnp.concatenate([pa, pb])
         dst = jnp.concatenate([pb, pa])
@@ -118,7 +151,9 @@ def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
         nxt = jnp.where(merge, partner, ids)
         two_cycle = (nxt[nxt] == ids) & (ids < nxt)
         nxt = jnp.where(two_cycle, ids, nxt)
-        for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+        # random-mate scheduling keeps merge forests star-shaped (depth <= 8
+        # -> 3 doublings); deeper residue finishes next round
+        for _ in range(3):
             nxt = nxt[nxt]
         return nxt, nxt[root]
 

@@ -62,6 +62,16 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
     def targets_fn(images):
         return create_target_with_mask(images, cfg.edge_target)
 
+    # targets are deterministic per image: compute once, reuse across epochs
+    # (the reference recomputes them in dataloader workers every epoch,
+    # EdgeDataset.h:101-124 — its input-bound hot loop)
+    target_cache: dict = {}
+
+    def targets_cached(key, images):
+        if key not in target_cache:
+            target_cache[key] = jax.device_get(targets_fn(images))
+        return jnp.asarray(target_cache[key])
+
     if mesh is not None:
         state = replicate(mesh, state)
 
@@ -72,9 +82,9 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         loss_num = loss_den = 0.0
         correct = valid = 0
         agg = None
-        for images in val_data.epoch(0, shuffle=False):
+        for i, images in enumerate(val_data.epoch(0, shuffle=False)):
             images = jnp.asarray(images)
-            targets = targets_fn(images)
+            targets = targets_cached(("val", i), images)
             if mesh is not None and images.shape[0] % mesh.size == 0:
                 images, targets = shard_batch(mesh, (images, targets))
             stats, m = eval_fn(state.params, images, targets)
@@ -94,7 +104,7 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         t0 = time.time()
         for batch_count, images in enumerate(train_data.epoch(epoch), 1):
             images = jnp.asarray(images)
-            targets = targets_fn(images)
+            targets = targets_fn(images)  # shuffled batches: no stable key
             if mesh is not None:
                 images, targets = shard_batch(mesh, (images, targets))
             state, aux, train_m = step_fn(state, images, targets)
