@@ -57,7 +57,7 @@ class ImageBatches:
     def __init__(self, paths: list[pathlib.Path], batch_size: int,
                  image_size: int | None = None, with_file_sizes: bool = False,
                  workers: int = 4, drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 4):
+                 prefetch: int = 4, yield_indices: bool = False):
         self.paths = list(paths)
         self.batch_size = batch_size
         self.image_size = image_size
@@ -66,6 +66,7 @@ class ImageBatches:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.yield_indices = yield_indices
 
     def __len__(self):
         n = len(self.paths) // self.batch_size
@@ -96,12 +97,13 @@ class ImageBatches:
                                                 self.with_file_sizes),
                         idxs))
                     images = np.stack([e[0] for e in examples])
+                    item: tuple = (images,)
                     if self.with_file_sizes:
-                        sizes = np.asarray([e[1] for e in examples],
-                                           np.float32)
-                        out_q.put((images, sizes))
-                    else:
-                        out_q.put(images)
+                        item += (np.asarray([e[1] for e in examples],
+                                            np.float32),)
+                    if self.yield_indices:
+                        item += (np.asarray(idxs, np.int64),)
+                    out_q.put(item if len(item) > 1 else item[0])
             out_q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)

@@ -47,7 +47,7 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         raise FileNotFoundError(f"no images under {cfg.dataset_dir}")
 
     train_data = ImageBatches(train_paths, p.batch_size, cfg.image_size,
-                              workers=4, drop_last=True)
+                              workers=4, drop_last=True, yield_indices=True)
     val_data = ImageBatches(val_paths, p.batch_size, cfg.image_size,
                             workers=2, drop_last=False)
 
@@ -64,13 +64,48 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
 
     # targets are deterministic per image: compute once, reuse across epochs
     # (the reference recomputes them in dataloader workers every epoch,
-    # EdgeDataset.h:101-124 — its input-bound hot loop)
+    # EdgeDataset.h:101-124 — its input-bound hot loop). Cost planes are
+    # {0,1}, so each image caches as packed bits (~H*W/4 bytes); masks are
+    # static and rebuilt on load.
+    from image_compression_tpu.ops.edges import edge_validity_masks
+
+    masks_np = np.asarray(edge_validity_masks(cfg.image_size, cfg.image_size))
     target_cache: dict = {}
 
     def targets_cached(key, images):
         if key not in target_cache:
             target_cache[key] = jax.device_get(targets_fn(images))
         return jnp.asarray(target_cache[key])
+
+    def pack(costs_hw2):
+        return np.packbits(costs_hw2.astype(np.uint8), axis=None)
+
+    def unpack(bits):
+        flat = np.unpackbits(bits, count=cfg.image_size * cfg.image_size * 2)
+        return flat.reshape(cfg.image_size, cfg.image_size, 2) \
+            .astype(np.float32)
+
+    train_target_bits: dict = {}
+
+    def train_targets(indices, images):
+        missing = [j for j, idx in enumerate(indices)
+                   if int(idx) not in train_target_bits]
+        if len(missing) == len(indices):
+            targets = jax.device_get(targets_fn(images))
+            for j, idx in enumerate(indices):
+                train_target_bits[int(idx)] = pack(targets[j, :, :, :2])
+            return jnp.asarray(targets)
+        if missing:  # partial batch miss: compute the whole batch, cache new
+            targets = jax.device_get(targets_fn(images))
+            for j in missing:
+                train_target_bits[int(indices[j])] = pack(
+                    targets[j, :, :, :2])
+            return jnp.asarray(targets)
+        costs = np.stack([unpack(train_target_bits[int(idx)])
+                          for idx in indices])
+        costs = costs * masks_np[None]
+        return jnp.asarray(np.concatenate(
+            [costs, np.broadcast_to(masks_np[None], costs.shape)], axis=-1))
 
     if mesh is not None:
         state = replicate(mesh, state)
@@ -102,9 +137,10 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         epoch_loss = 0.0
         batches = 0
         t0 = time.time()
-        for batch_count, images in enumerate(train_data.epoch(epoch), 1):
+        for batch_count, (images, indices) in enumerate(
+                train_data.epoch(epoch), 1):
             images = jnp.asarray(images)
-            targets = targets_fn(images)  # shuffled batches: no stable key
+            targets = train_targets(indices, images)
             if mesh is not None:
                 images, targets = shard_batch(mesh, (images, targets))
             state, aux, train_m = step_fn(state, images, targets)

@@ -134,3 +134,14 @@ def test_profiling_phase_timer():
         pass
     s = t.summary()
     assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
+
+
+def test_image_batches_yield_indices(tmp_path, rng):
+    paths = _make_dataset(tmp_path, rng, n=5)
+    data = ImageBatches(paths, batch_size=2, image_size=24,
+                        yield_indices=True, drop_last=False, seed=1)
+    seen = []
+    for images, indices in data.epoch(0):
+        assert images.shape[0] == len(indices)
+        seen.extend(indices.tolist())
+    assert sorted(seen) == list(range(5))
