@@ -34,68 +34,120 @@ def slic_labels(image_f01: jnp.ndarray, region_size: int = 20,
 
     Defaults mirror slic_edge.h:10-16.
     """
-    height, width, _c = image_f01.shape
+    height, width, chans = image_f01.shape
     s = region_size
     gh = -(-height // s)
     gw = -(-width // s)
-    k = gh * gw
+    hp, wp = gh * s, gw * s  # padded to whole cells
 
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-    cell_y = jnp.minimum(ys // s, gh - 1)
-    cell_x = jnp.minimum(xs // s, gw - 1)
-
-    # candidate cells: 3x3 neighborhood (covers the 2S x 2S search window)
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    cand_cells = jnp.stack([
-        jnp.clip(cell_y + dy, 0, gh - 1) * gw + jnp.clip(cell_x + dx, 0, gw - 1)
-        for dy, dx in offsets], axis=-1)  # [H, W, 9]
-
-    # initial centers at grid-cell centroids
-    cy0 = (jnp.arange(gh, dtype=jnp.float32) * s + (s - 1) / 2).clip(max=height - 1)
-    cx0 = (jnp.arange(gw, dtype=jnp.float32) * s + (s - 1) / 2).clip(max=width - 1)
-    center_y = jnp.repeat(cy0, gw)
-    center_x = jnp.tile(cx0, gh)
-
-    img = image_f01.astype(jnp.float32)
+    img = jnp.pad(image_f01.astype(jnp.float32),
+                  ((0, hp - height), (0, wp - width), (0, 0)), mode="edge")
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    ysf = ys.astype(jnp.float32)
+    xsf = xs.astype(jnp.float32)
     spatial_w = (ruler / s) ** 2
 
-    def mean_by_label(values, labels):
-        total = jax.ops.segment_sum(values.reshape(height * width, -1),
-                                    labels.reshape(-1), num_segments=k)
-        count = jax.ops.segment_sum(
-            jnp.ones((height * width,), jnp.float32),
-            labels.reshape(-1), num_segments=k)
-        return total, count
+    # Everything runs on cell grids and plane shifts: the 3x3 candidate
+    # centers of a pixel are constant within its cell, so candidate values
+    # come from shifted [gh, gw] center grids upsampled by `s` — no per-pixel
+    # gathers; center updates are per-cell reshape-sums shift-added back —
+    # no scatters. (TPU serializes 1-element-row gathers/scatters.)
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
-    def assign(center_color, center_yx):
-        cc = center_color[cand_cells]          # [H, W, 9, C]
-        cyx = center_yx[cand_cells]            # [H, W, 9, 2]
-        d_color = jnp.sum((img[:, :, None, :] - cc) ** 2, axis=-1)
-        d_space = ((ys[..., None] - cyx[..., 0]) ** 2
-                   + (xs[..., None] - cyx[..., 1]) ** 2)
-        dist = d_color + spatial_w * d_space
-        pick = jnp.argmin(dist, axis=-1)
-        return jnp.take_along_axis(cand_cells, pick[..., None], axis=-1)[..., 0]
+    def up(cell_grid):
+        # [gh, gw, ...] -> pixel resolution
+        return jnp.repeat(jnp.repeat(cell_grid, s, axis=0), s, axis=1)
+
+    def cell_sum(pixel_vals):
+        # [hp, wp, ...] -> per-cell sums [gh, gw, ...]
+        shp = pixel_vals.shape[2:]
+        return pixel_vals.reshape(gh, s, gw, s, *shp).sum(axis=(1, 3))
+
+    def shift_cells(grid, dy, dx):
+        # value of cell (cy+dy, cx+dx), edge-clamped
+        pads = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))] + \
+            [(0, 0)] * (grid.ndim - 2)
+        out = jnp.pad(grid, pads, mode="edge")
+        return out[max(0, dy):max(0, dy) + gh, max(0, dx):max(0, dx) + gw]
+
+    def cell_valid(dy, dx):
+        """[gh, gw] bool: does cell (cy+dy, cx+dx) exist?"""
+        cyg = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+        cxg = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+        return ((cyg + dy >= 0) & (cyg + dy < gh)
+                & (cxg + dx >= 0) & (cxg + dx < gw))
+
+    def assign(center_color, center_y, center_x):
+        # center_*: [gh, gw(, C)]. Out-of-range candidates are invalid (inf)
+        # rather than clamped, so the chosen offset maps exactly to one cell
+        # and the reverse-shift accumulation below stays consistent.
+        best_d = jnp.full((hp, wp), jnp.inf)
+        best_o = jnp.zeros((hp, wp), jnp.int32)
+        for o, (dy, dx) in enumerate(offsets):
+            cc = up(shift_cells(center_color, dy, dx))
+            cy = up(shift_cells(center_y, dy, dx))
+            cx = up(shift_cells(center_x, dy, dx))
+            ok = up(cell_valid(dy, dx))
+            d = jnp.sum((img - cc) ** 2, axis=-1) \
+                + spatial_w * ((ysf - cy) ** 2 + (xsf - cx) ** 2)
+            d = jnp.where(ok, d, jnp.inf)
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_o = jnp.where(take, o, best_o)
+        return best_o  # chosen offset index per pixel
+
+    # reverse shift with zero fill (border spill must not double-count)
+    def shift_cells_zero(grid, dy, dx):
+        pads = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))] + \
+            [(0, 0)] * (grid.ndim - 2)
+        out = jnp.pad(grid, pads)
+        return out[max(0, dy):max(0, dy) + gh, max(0, dx):max(0, dx) + gw]
+
+    def centers_from_exact(best_o, old):
+        color_sum = jnp.zeros((gh, gw, chans))
+        y_sum = jnp.zeros((gh, gw))
+        x_sum = jnp.zeros((gh, gw))
+        count = jnp.zeros((gh, gw))
+        for o, (dy, dx) in enumerate(offsets):
+            m = (best_o == o).astype(jnp.float32)
+            color_sum = color_sum + shift_cells_zero(
+                cell_sum(img * m[..., None]), -dy, -dx)
+            y_sum = y_sum + shift_cells_zero(cell_sum(ysf * m), -dy, -dx)
+            x_sum = x_sum + shift_cells_zero(cell_sum(xsf * m), -dy, -dx)
+            count = count + shift_cells_zero(cell_sum(m), -dy, -dx)
+        denom = jnp.maximum(count, 1.0)
+        occ = count > 0
+        old_color, old_y, old_x = old
+        return (jnp.where(occ[..., None], color_sum / denom[..., None],
+                          old_color),
+                jnp.where(occ, y_sum / denom, old_y),
+                jnp.where(occ, x_sum / denom, old_x))
+
+    # initial centers = cell means
+    ones = jnp.ones((hp, wp))
+    c0 = cell_sum(img) / cell_sum(ones)[..., None]
+    y0 = cell_sum(ysf) / cell_sum(ones)
+    x0 = cell_sum(xsf) / cell_sum(ones)
 
     def step(_, state):
-        center_color, center_yx = state
-        labels = assign(center_color, center_yx)
-        color_sum, count = mean_by_label(img, labels)
-        yx = jnp.stack([ys, xs], axis=-1).astype(jnp.float32)
-        yx_sum, _ = mean_by_label(yx, labels)
-        denom = jnp.maximum(count, 1.0)[:, None]
-        new_color = jnp.where(count[:, None] > 0, color_sum / denom,
-                              center_color)
-        new_yx = jnp.where(count[:, None] > 0, yx_sum / denom, center_yx)
-        return new_color, new_yx
+        center_color, center_y, center_x = state
+        best_o = assign(center_color, center_y, center_x)
+        return centers_from_exact(best_o, state)
 
-    color0, cnt0 = mean_by_label(img, cell_y * gw + cell_x)
-    center_color = color0 / jnp.maximum(cnt0, 1.0)[:, None]
-    center_yx = jnp.stack([center_y, center_x], axis=-1)
-    center_color, center_yx = jax.lax.fori_loop(
-        0, iters, step, (center_color, center_yx))
-    labels = assign(center_color, center_yx)
+    center_color, center_y, center_x = jax.lax.fori_loop(
+        0, iters, step, (c0, y0, x0))
+    best_o = assign(center_color, center_y, center_x)
+
+    # offset choice -> superpixel label = chosen cell index (offsets are
+    # in-range by construction: invalid candidates scored inf in assign)
+    cell_y = ys // s
+    cell_x = xs // s
+    labels = jnp.zeros((hp, wp), jnp.int32)
+    for o, (dy, dx) in enumerate(offsets):
+        lab_o = (cell_y + dy) * gw + (cell_x + dx)
+        labels = jnp.where(best_o == o, lab_o, labels)
+    labels = labels[:height, :width]
 
     # connectivity: split stray fragments, absorb small ones
     min_size = max(1, (s * s) * 25 // 100)  # cv enforceLabelConnectivity default
