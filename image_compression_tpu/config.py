@@ -47,7 +47,7 @@ class RewardConfig:
 class MulticutConfig:
     """Grid multicut solver settings (replaces RAMA's multicut_solver_options)."""
 
-    max_rounds: int = 4           # full-phase re-aggregation rounds (fixpoint bound)
+    max_rounds: int = 3           # full-phase re-aggregation rounds (fixpoint bound)
     mode: str = "chain"           # chain | mutual | random_mate | hybrid
     icm_sweeps: int = 8           # local-move refinement sweeps after contraction
     matchings_per_round: int = 4  # matching passes per cost re-aggregation

@@ -203,7 +203,7 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
                                     "matchings_per_round", "tile",
                                     "presolve_rounds", "boundary_rounds",
                                     "return_rounds"))
-def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 4,
+def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                   mode: str = "chain", icm_sweeps: int = 8,
                   matchings_per_round: int = 4, tile: int = 16,
                   presolve_rounds: int = 4, boundary_rounds: int = 4,
@@ -409,7 +409,7 @@ def relabel_connected(labels: jnp.ndarray, max_rounds: int = 64) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("max_rounds", "mode", "icm_sweeps"))
-def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 4,
+def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 3,
                           mode: str = "chain",
                           icm_sweeps: int = 8) -> jnp.ndarray:
     """Batched multicut [B, H, W, 2] -> [B, H, W] int32 (true parallelism over
