@@ -78,10 +78,15 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
     ids = jnp.arange(n, dtype=jnp.int32)
     log_n = int(np.ceil(np.log2(max(n, 2)))) + 1
 
-    def match_and_contract(m, touched, pa, pb, pc, chain: bool, salt):
-        pa_c = jnp.minimum(pa, n - 1)
-        pb_c = jnp.minimum(pb, n - 1)
-        act = (pa < n) & (pb < n) & ~touched[pa_c] & ~touched[pb_c]
+    def match_and_contract(m, touched, pa, pb, pc, chain: bool, salt,
+                           first_pass: bool = False, last_pass: bool = False):
+        if first_pass:
+            # touched is all-False on the first pass: skip its gathers
+            act = (pa < n) & (pb < n)
+        else:
+            pa_c = jnp.minimum(pa, n - 1)
+            pb_c = jnp.minimum(pb, n - 1)
+            act = (pa < n) & (pb < n) & ~touched[pa_c] & ~touched[pb_c]
 
         src = jnp.concatenate([jnp.where(act, pa, n), jnp.where(act, pb, n)])
         dst = jnp.concatenate([jnp.where(act, pb, n), jnp.where(act, pa, n)])
@@ -118,6 +123,8 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
         # intermediate ids keep acting as region ids).
         for _ in range(min(log_n, 4) if chain else 2):
             nxt = nxt[nxt]
+        if last_pass:
+            return nxt[m], touched
         # a region is touched if it merged away or something merged into it
         received = jnp.zeros((n,), bool).at[partner_safe].max(merge)
         touched = touched | merge | received
@@ -127,7 +134,9 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
         for k in range(matchings_per_round):
             m, touched = match_and_contract(
                 m, touched, pa, pb, pc, False,
-                salt_base + it * matchings_per_round + k)
+                salt_base + it * matchings_per_round + k,
+                first_pass=(k == 0),
+                last_pass=(k == matchings_per_round - 1))
         return m
 
     def round_body(state):
@@ -174,12 +183,15 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
         touched = jnp.zeros((n,), bool)
         if mode == "chain":
             m, _ = match_and_contract(m, touched, pa, pb, pc, True,
-                                      salt_base + it)
+                                      salt_base + it, first_pass=True,
+                                      last_pass=True)
         elif mode == "hybrid":
             m = jax.lax.cond(
                 it == 0,
                 lambda m: match_and_contract(m, touched, pa, pb, pc,
-                                             True, salt_base + it)[0],
+                                             True, salt_base + it,
+                                             first_pass=True,
+                                             last_pass=True)[0],
                 lambda m: mate_passes(m, touched, pa, pb, pc, it),
                 m)
         else:

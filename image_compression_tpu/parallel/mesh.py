@@ -43,3 +43,25 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
 
 def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host initialization (DP over DCN across slices/hosts).
+
+    Call once per host before building the mesh; jax.distributed wires the
+    processes and jax.devices() then spans all hosts, so make_mesh()'s data
+    axis covers the full fleet. No-ops on single-host setups with no
+    coordinator configured."""
+    import jax
+
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()  # env-driven (TPU pods)
+        except Exception:  # noqa: BLE001 — single-host: nothing to wire
+            return
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)

@@ -177,3 +177,34 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
 
 def np_images_placeholder(batch: int, size: int) -> np.ndarray:
     return np.zeros((batch, size, size, 3), np.float32)
+
+
+def compute_global_pos_weight(data: ImageBatches, cfg: Config,
+                              max_batches: int | None = None) -> float:
+    """Dataset-wide neg/pos ratio of the connect class
+    (compute_global_pos_weight, pretraining.cpp:189-207 — defined there but
+    unused; the reference hardcodes 0.1 instead, pretraining.cpp:264-267).
+    Offered for configs that want a data-derived pos_weight."""
+    import jax.numpy as jnp
+
+    from image_compression_tpu.ops.targets import create_target_with_mask
+
+    @jax.jit
+    def counts(images):
+        t = create_target_with_mask(images, cfg.edge_target)
+        y = jnp.stack([t[..., 0], t[..., 1]], -1)
+        m = jnp.stack([t[..., 2], t[..., 3]], -1) > 0
+        pos = jnp.sum((y > 0.5) & m)
+        neg = jnp.sum((y < 0.5) & m)
+        return pos, neg
+
+    n_pos = n_neg = 0.0
+    for i, images in enumerate(data.epoch(0, shuffle=False)):
+        if isinstance(images, tuple):
+            images = images[0]
+        p_, n_ = counts(jnp.asarray(images))
+        n_pos += float(p_)
+        n_neg += float(n_)
+        if max_batches and i + 1 >= max_batches:
+            break
+    return (n_neg + 1e-6) / (n_pos + 1e-6)

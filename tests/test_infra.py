@@ -145,3 +145,16 @@ def test_image_batches_yield_indices(tmp_path, rng):
         assert images.shape[0] == len(indices)
         seen.extend(indices.tolist())
     assert sorted(seen) == list(range(5))
+
+
+def test_compute_global_pos_weight(tmp_path, rng):
+    from image_compression_tpu.train.pretrain import compute_global_pos_weight
+
+    paths = _make_dataset(tmp_path, rng, n=4, size=32)
+    cfg = Config()
+    cfg.image_size = 32
+    cfg.edge_target = EdgeTarget.CANNY
+    data = ImageBatches(paths, batch_size=2, image_size=32, drop_last=False)
+    w = compute_global_pos_weight(data, cfg)
+    # random-noise images: Canny cuts some edges; ratio finite and positive
+    assert 0 < w < 100
