@@ -87,8 +87,10 @@ def _hysteresis(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
         grown = dilate(edges) & weak
         return grown, jnp.any(grown != edges)
 
-    edges, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (strong, jnp.asarray(True)))
+    # seed with one body step so the carry's `changed` is data-derived
+    # (a literal True carry has a different type under shard_map)
+    state = body((strong, jnp.any(strong)))
+    edges, _ = jax.lax.while_loop(lambda s: s[1], body, state)
     return edges
 
 

@@ -1,0 +1,36 @@
+"""Spatially-sharded classical extraction (parallel/spatial.py) against the
+unsharded op on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from image_compression_tpu.ops.canny import canny_edge_costs
+from image_compression_tpu.parallel.mesh import make_mesh
+from image_compression_tpu.parallel.spatial import sharded_edge_costs
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh()
+
+
+def test_sharded_canny_close_to_global(mesh, rng):
+    """Height-sharded Canny equals the global op away from shard seams
+    (hysteresis linking beyond the halo is tile-local, documented)."""
+    img = np.zeros((128, 64, 3), np.float32)
+    img[:, :] = 0.2
+    img[30:100, 20:50] = 0.9
+    img += rng.normal(0, 2 / 255, img.shape)
+    img = np.clip(img, 0, 1).astype(np.float32)
+
+    global_costs = np.asarray(canny_edge_costs(jnp.asarray(img)))
+    xs = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("data")))
+    sharded = np.asarray(sharded_edge_costs(xs, mesh, halo=8))
+
+    assert sharded.shape == global_costs.shape
+    agree = (sharded == global_costs).mean()
+    assert agree > 0.99, agree
