@@ -39,8 +39,18 @@ def load_image(path: str | pathlib.Path) -> np.ndarray:
     """Decode an image to uint8 HWC, keeping its channel count.
 
     Reference uses cv::imread(IMREAD_UNCHANGED) (image_loader.cpp:34-43):
-    grayscale stays 1-channel, RGB 3, RGBA 4.
+    grayscale stays 1-channel, RGB 3, RGBA 4. Plain 8-bit PNGs decode through
+    the native zlib codec when built; PIL handles everything else
+    (palette, 16-bit, interlaced, non-PNG formats).
     """
+    path = pathlib.Path(path)
+    if path.suffix.lower() == ".png":
+        from image_compression_tpu.io import native
+        if native.available():
+            try:
+                return native.decode_png(path.read_bytes())
+            except ValueError:
+                pass  # unsupported PNG flavor: fall through to PIL
     with Image.open(path) as im:
         if im.mode in ("RGB", "RGBA", "L"):
             arr = np.asarray(im)

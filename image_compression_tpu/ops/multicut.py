@@ -167,16 +167,30 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
             jnp.ones((1,), bool),
             (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]),
         ])
-        pair_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-        pair_cost = jax.ops.segment_sum(
-            w_s, pair_id, num_segments=num_edges, indices_are_sorted=True)
+        # per-pair totals via segmented scans on the sorted runs (pure scans
+        # beat scatter-based segment_sum + gather on TPU): forward segmented
+        # cumsum, then a reverse segmented hold-scan propagates each run's
+        # total (its cumsum value at the run end) back to the run start.
+        def seg_combine(op):
+            def combine(x, y):
+                (vx, _rx), (vy, ry) = x, y
+                return jnp.where(ry, vy, op(vx, vy)), x[1] | ry
+            return combine
+
+        fwd, _ = jax.lax.associative_scan(
+            seg_combine(jnp.add), (w_s, is_start))
+        is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+        # hold = left projection: every element adopts its (flipped-order)
+        # run start's value, i.e. the original run end's cumsum = run total
+        tot, _ = jax.lax.associative_scan(
+            seg_combine(lambda vx, _vy: vx), (fwd, is_end), reverse=True)
 
         # distinct-pair table, one row per sorted run start (real pairs have
         # a < b; sentinels decode to a >= b)
         run_ok = is_start & (a_s < b_s) & (b_s < n)
         pa = jnp.where(run_ok, a_s, n)
         pb = jnp.where(run_ok, b_s, n)
-        pc = jnp.where(run_ok, pair_cost[pair_id], 0.0)
+        pc = jnp.where(run_ok, tot, 0.0)
 
         # --- 2+3. matching passes against this table -----------------------
         m = ids
