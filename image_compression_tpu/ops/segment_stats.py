@@ -35,24 +35,32 @@ def segment_stats(labels_hw: jnp.ndarray, k_max: int) -> SegmentStats:
     n = height * width
     flat = labels_hw.reshape(-1).astype(jnp.int32)
 
-    # sorted-rank compaction (at::_unique sorted=true semantics)
-    order = jnp.argsort(flat)
-    sorted_vals = flat[order]
+    # sorted-rank compaction (at::_unique sorted=true semantics). One
+    # multi-operand sort carries pixel coordinates along; the inverse comes
+    # from a second small sort instead of a permutation scatter, and all
+    # reductions run on sorted keys (TPU serializes scattered updates).
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_vals, idx_s, xs_s, ys_s = jax.lax.sort(
+        (flat, idx, xs, ys), num_keys=1)
     is_new = jnp.concatenate([jnp.ones((1,), bool),
                               sorted_vals[1:] != sorted_vals[:-1]])
     rank_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     num_segments = rank_sorted[-1] + 1
-    inverse_flat = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-    inverse_flat = jnp.minimum(inverse_flat, k_max - 1)
+    rank_sorted = jnp.minimum(rank_sorted, k_max - 1)
+    _, inverse_flat = jax.lax.sort((idx_s, rank_sorted), num_keys=1)
 
-    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), inverse_flat,
-                                 num_segments=k_max)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
-    x0 = jax.ops.segment_min(xs, inverse_flat, num_segments=k_max)
-    y0 = jax.ops.segment_min(ys, inverse_flat, num_segments=k_max)
-    x1 = jax.ops.segment_max(xs, inverse_flat, num_segments=k_max)
-    y1 = jax.ops.segment_max(ys, inverse_flat, num_segments=k_max)
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), rank_sorted,
+                                 num_segments=k_max, indices_are_sorted=True)
+    x0 = jax.ops.segment_min(xs_s, rank_sorted, num_segments=k_max,
+                             indices_are_sorted=True)
+    y0 = jax.ops.segment_min(ys_s, rank_sorted, num_segments=k_max,
+                             indices_are_sorted=True)
+    x1 = jax.ops.segment_max(xs_s, rank_sorted, num_segments=k_max,
+                             indices_are_sorted=True)
+    y1 = jax.ops.segment_max(ys_s, rank_sorted, num_segments=k_max,
+                             indices_are_sorted=True)
 
     valid = jnp.arange(k_max) < num_segments
     # empty-slot init values mirror segment_stats.cu:14-19
