@@ -100,12 +100,21 @@ def tile_presolve(costs_hw2: jnp.ndarray, tile: int = 16,
         merge = best > 0.0
         partner_safe = jnp.where(merge, partner, 0)
 
-        take = lambda arr, idx: jnp.take_along_axis(arr, idx, axis=1)  # noqa
+        def take(arr, idx):
+            # batched vec[b, idx[b, i]] as a one-hot matmul: dynamic gathers
+            # serialize on TPU, a [T,S,S] bf16 one-hot contraction does not.
+            # Values here are ids < 2^16 or booleans: exact in f32.
+            oh = jax.nn.one_hot(idx, s, dtype=jnp.bfloat16)
+            out = jnp.einsum("tij,tj->ti", oh,
+                             arr.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+            return out.astype(arr.dtype)
+
         mutual = merge & (take(partner, partner_safe) == ids[None])
         coin = jax.random.bernoulli(
             jax.random.fold_in(jax.random.PRNGKey(2), r), 0.5,
             (t_count, s))
-        tails = merge & ~coin & take(coin, partner_safe)
+        tails = merge & ~coin & (take(coin, partner_safe) > 0.5)
         merge = mutual | tails
 
         nxt = jnp.where(merge, partner, ids[None])
