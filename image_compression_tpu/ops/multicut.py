@@ -118,10 +118,11 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
         nxt = jnp.where(two_cycle, ids, nxt)
         # matching modes build stars (depth <= 4 -> 2 doublings). Chain mode
         # can build deep trees, but single-element-row gathers are serialized
-        # on TPU, so cap at 4 doublings (depth 16): rare deeper chains simply
+        # on TPU, so cap at 2 doublings (depth 4): deeper chains simply
         # finish contracting in the next outer round (still consistent — the
-        # intermediate ids keep acting as region ids).
-        for _ in range(min(log_n, 4) if chain else 2):
+        # intermediate ids keep acting as region ids; measured objective is
+        # unchanged).
+        for _ in range(2):
             nxt = nxt[nxt]
         if last_pass:
             return nxt[m], touched
