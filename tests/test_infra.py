@@ -158,3 +158,34 @@ def test_compute_global_pos_weight(tmp_path, rng):
     w = compute_global_pos_weight(data, cfg)
     # random-noise images: Canny cuts some edges; ratio finite and positive
     assert 0 < w < 100
+
+
+def test_cli_compress_learned_checkpoint(tmp_path, rng, capsys):
+    """The learned compress path through the CLI: save params, compress with
+    --checkpoint, reassemble losslessly."""
+    import jax
+
+    from image_compression_tpu.cli.main import main
+    from image_compression_tpu.io.image_io import ensure_rgba, load_image
+    from image_compression_tpu.io.reassemble import reassemble_array
+    from image_compression_tpu.models.unet import EdgeUNet
+    from image_compression_tpu.train.checkpoint import save_params
+
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_image(data_dir / "im.png", img)
+
+    model = EdgeUNet(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckpt = tmp_path / "p_params"
+    save_params(ckpt, params)
+
+    main(["compress", "--dataset-dir", str(data_dir), "--results-dir",
+          str(tmp_path / "results"), "--checkpoint", str(ckpt)])
+    out = capsys.readouterr().out
+    assert "compressed" in out
+
+    canvas = reassemble_array(tmp_path / "results" / "im")
+    np.testing.assert_array_equal(canvas,
+                                  ensure_rgba(load_image(data_dir / "im.png")))
