@@ -147,17 +147,33 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
     is_start = in_stream & ~same
     flat_start = is_start.reshape(-1)
     flat_stream = in_stream.reshape(-1)
-    run_id = jnp.cumsum(flat_start.astype(jnp.int32)) - 1
-    run_id = jnp.where(flat_stream, run_id, res.size - 1)
-    run_len = jax.ops.segment_sum(flat_stream.astype(jnp.int32),
-                                  jnp.maximum(run_id, 0),
-                                  num_segments=res.size)
-    # exclude the dump slot unless it is a genuine run id
-    n_runs = jnp.sum(flat_start)
-    slot_ids = jnp.arange(res.size)
-    genuine = slot_ids < n_runs
-    long_run = genuine & (run_len >= l_min)
-    match_symbols = jnp.sum(jnp.where(long_run, run_len, 0))
+
+    # run statistics with segmented scans only (a segment_sum keyed by run id
+    # needs res.size segments and its scatter serializes on TPU):
+    #   pos-in-run: forward cumsum of in-stream resetting at run starts
+    #   (out-of-stream gaps carry the count harmlessly: the next run resets);
+    #   a row is its run's END iff it is in-stream and the next in-stream row
+    #   starts a new run (or no in-stream row follows) -> found by a reverse
+    #   hold-scan carrying the most recent in-stream row's is_start.
+    def seg_combine(op):
+        def combine(x, y):
+            (vx, _rx), (vy, ry) = x, y
+            return jnp.where(ry, vy, op(vx, vy)), x[1] | ry
+        return combine
+
+    pos_in_run, _ = jax.lax.associative_scan(
+        seg_combine(jnp.add),
+        (flat_stream.astype(jnp.int32), flat_start))
+    next_is_start, _ = jax.lax.associative_scan(
+        seg_combine(lambda vx, _vy: vx),
+        (jnp.where(flat_stream, flat_start, True), flat_stream),
+        reverse=True)
+    shifted_next = jnp.concatenate([next_is_start[1:],
+                                    jnp.ones((1,), bool)])
+    is_end = flat_stream & shifted_next
+    run_len_at_end = jnp.where(is_end, pos_in_run, 0)
+    long_run = run_len_at_end >= l_min
+    match_symbols = jnp.sum(jnp.where(long_run, run_len_at_end, 0))
     match_count = jnp.sum(long_run)
     match_len_sum = match_symbols  # reference accumulates run_len into both
 
