@@ -38,8 +38,9 @@ class RewardConfig:
     lambda_single_segment: float = 0.5
     # TPU-specific: static cap on distinct segments per image for the
     # vectorized estimator (reference loops over dynamic K instead,
-    # compute_rewards.cu:159-180). Extra segments beyond the cap fall back to
-    # a literal-only size bound.
+    # compute_rewards.cu:159-180). Segments beyond the cap are merged into
+    # the last slot and estimated as one pseudo-segment, plus a per-surplus-
+    # segment container-overhead lower bound (ops/rewards.py).
     max_segments: int = 64
 
 

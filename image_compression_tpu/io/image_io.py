@@ -35,22 +35,45 @@ def find_image_files_recursively(root: str | pathlib.Path,
     return out
 
 
+def _la_to_rgba(arr: np.ndarray) -> np.ndarray:
+    """2-channel gray+alpha -> RGBA (luma replicated), dtype preserved."""
+    h, w = arr.shape[:2]
+    out = np.empty((h, w, 4), arr.dtype)
+    out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = arr[:, :, 0]
+    out[:, :, 3] = arr[:, :, 1]
+    return out
+
+
 def load_image(path: str | pathlib.Path) -> np.ndarray:
-    """Decode an image to uint8 HWC, keeping its channel count.
+    """Decode an image to uint8/uint16 HWC, keeping channel count and depth.
 
     Reference uses cv::imread(IMREAD_UNCHANGED) (image_loader.cpp:34-43):
-    grayscale stays 1-channel, RGB 3, RGBA 4. Plain 8-bit PNGs decode through
-    the native zlib codec when built; PIL handles everything else
-    (palette, 16-bit, interlaced, non-PNG formats).
+    grayscale stays 1-channel, RGB 3, RGBA 4, and 16-bit stays 16-bit.
+    PNGs decode through the native zlib codec when built (8- and 16-bit,
+    color types 0/2/4/6), with a pure-Python PNG fallback for 16-bit and PIL
+    for everything else (palette, interlaced, non-PNG formats). Gray+alpha
+    decodes are converted to RGBA (the downstream contract is 1/3/4
+    channels, matching to_f32c3_01_or_throw, compress.cpp:10-35).
     """
     path = pathlib.Path(path)
     if path.suffix.lower() == ".png":
         from image_compression_tpu.io import native
         if native.available():
             try:
-                return native.decode_png(path.read_bytes())
+                arr = native.decode_png(path.read_bytes())
+                if arr.shape[2] == 2:
+                    arr = _la_to_rgba(arr)
+                return arr
             except ValueError:
-                pass  # unsupported PNG flavor: fall through to PIL
+                pass  # unsupported PNG flavor: fall through
+        from image_compression_tpu.io import pypng
+        arr = pypng.try_decode(path.read_bytes())
+        if arr is not None:
+            if arr.ndim == 3 and arr.shape[2] == 2:
+                arr = _la_to_rgba(arr)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return np.ascontiguousarray(arr)
     with Image.open(path) as im:
         if im.mode in ("RGB", "RGBA", "L"):
             arr = np.asarray(im)
@@ -59,8 +82,8 @@ def load_image(path: str | pathlib.Path) -> np.ndarray:
         elif im.mode in ("P", "1"):
             converted = im.convert("RGBA" if "transparency" in im.info else "RGB")
             arr = np.asarray(converted)
-        elif im.mode == "I;16":
-            arr = (np.asarray(im) // 257).astype(np.uint8)
+        elif im.mode in ("I;16", "I;16B", "I;16L"):
+            arr = np.asarray(im).astype(np.uint16)
         else:
             arr = np.asarray(im.convert("RGB"))
     if arr.ndim == 2:
@@ -71,11 +94,24 @@ def load_image(path: str | pathlib.Path) -> np.ndarray:
 def write_image(path: str | pathlib.Path, image_hwc_u8: np.ndarray,
                 compression_level: int = 4) -> bool:
     """Encode PNG at the configured zlib level (image_writer.cpp:4-8 writes
-    with IMWRITE_PNG_COMPRESSION=4). Forces a .png suffix like the reference."""
+    with IMWRITE_PNG_COMPRESSION=4). Forces a .png suffix like the reference
+    (write_image forces IMAGE_FORMAT). uint16 inputs write 16-bit PNGs
+    (cv::imwrite keeps the Mat depth; the reference loads IMREAD_UNCHANGED)."""
     path = pathlib.Path(path).with_suffix(".png")
     arr = np.ascontiguousarray(image_hwc_u8)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
+    if arr.dtype == np.uint16:
+        from image_compression_tpu.io import native, pypng
+        try:
+            if native.available():
+                data = native.encode_png(arr, compression_level)
+            else:
+                data = pypng.encode(arr, compression_level)
+            path.write_bytes(data)
+            return True
+        except OSError:
+            return False
     try:
         Image.fromarray(arr).save(path, format="PNG",
                                   compress_level=compression_level)
@@ -111,19 +147,18 @@ def to_float01_rgb(image_hwc_u8: np.ndarray) -> np.ndarray:
 
 
 def ensure_rgba(image_hwc_u8: np.ndarray) -> np.ndarray:
-    """1/3/4-channel uint8 -> RGBA with opaque alpha (reassemble.cpp:15-28)."""
+    """1/3/4-channel uint8/uint16 -> RGBA with opaque alpha
+    (reassemble.cpp:15-28); depth is preserved."""
     arr = image_hwc_u8
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     if c == 4:
         return arr
-    out = np.empty((h, w, 4), np.uint8)
-    if c == 1:
-        out[:, :, :3] = arr
-    elif c == 3:
+    out = np.empty((h, w, 4), arr.dtype)
+    if c in (1, 3):
         out[:, :, :3] = arr
     else:
         raise ValueError(f"unsupported channel count: {c}")
-    out[:, :, 3] = 255
+    out[:, :, 3] = np.iinfo(arr.dtype).max if arr.dtype != np.float32 else 1.0
     return out

@@ -31,10 +31,17 @@ def load_library():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_size_t)]
     lib.pngio_encode.restype = ctypes.c_int
+    lib.pngio_encode16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t)]
+    lib.pngio_encode16.restype = ctypes.c_int
     lib.pngio_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
     lib.pngio_decode.restype = ctypes.c_int
     lib.pngio_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     lib.pngio_write_slices.argtypes = [
@@ -50,19 +57,26 @@ def available() -> bool:
     return load_library() is not None
 
 
-def encode_png(image_hwc_u8: np.ndarray, level: int = 4) -> bytes:
+def encode_png(image_hwc: np.ndarray, level: int = 4) -> bytes:
+    """uint8 or uint16 HWC/HW -> PNG bytes (16-bit inputs write 16-bit PNGs)."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
-    arr = np.ascontiguousarray(image_hwc_u8, np.uint8)
+    is16 = np.asarray(image_hwc).dtype == np.uint16
+    arr = np.ascontiguousarray(image_hwc, np.uint16 if is16 else np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
-    rc = lib.pngio_encode(
-        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c, level,
-        ctypes.byref(out), ctypes.byref(out_len))
+    if is16:
+        rc = lib.pngio_encode16(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h, w, c,
+            level, ctypes.byref(out), ctypes.byref(out_len))
+    else:
+        rc = lib.pngio_encode(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+            level, ctypes.byref(out), ctypes.byref(out_len))
     if rc != 0:
         raise RuntimeError(f"pngio_encode failed: {rc}")
     try:
@@ -72,6 +86,7 @@ def encode_png(image_hwc_u8: np.ndarray, level: int = 4) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> HWC array: uint8 for 8-bit files, uint16 for 16-bit."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
@@ -79,14 +94,18 @@ def decode_png(data: bytes) -> np.ndarray:
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
+    depth = ctypes.c_int()
     rc = lib.pngio_decode(buf, len(data), None, ctypes.byref(h),
-                          ctypes.byref(w), ctypes.byref(c))
+                          ctypes.byref(w), ctypes.byref(c),
+                          ctypes.byref(depth))
     if rc != 0:
         raise ValueError(f"pngio_decode failed (unsupported PNG): {rc}")
-    out = np.empty((h.value, w.value, c.value), np.uint8)
+    dtype = np.uint16 if depth.value == 16 else np.uint8
+    out = np.empty((h.value, w.value, c.value), dtype)
     rc = lib.pngio_decode(buf, len(data),
                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                          ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+                          ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+                          ctypes.byref(depth))
     if rc != 0:
         raise ValueError(f"pngio_decode failed: {rc}")
     return out

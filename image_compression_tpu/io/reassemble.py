@@ -23,7 +23,7 @@ def reassemble_array(slice_dir: str | pathlib.Path) -> np.ndarray:
     if not records:
         raise ValueError("No slices in metadata")
 
-    canvas = np.zeros((height, width, 4), np.uint8)
+    canvas = None  # dtype adopted from the first slice (8- or 16-bit)
 
     for m in records:
         if not m.filename:
@@ -49,11 +49,15 @@ def reassemble_array(slice_dir: str | pathlib.Path) -> np.ndarray:
                   file=sys.stderr)
             continue
 
-        src = piece[:copy_h, :copy_w]
+        if canvas is None:
+            canvas = np.zeros((height, width, 4), piece.dtype)
+        src = piece[:copy_h, :copy_w].astype(canvas.dtype, copy=False)
         mask = src[:, :, 3] > 0  # alpha>0 threshold (reassemble.cpp:94-98)
         region = canvas[m.y:m.y + copy_h, m.x:m.x + copy_w]
         region[mask] = src[mask]
 
+    if canvas is None:
+        canvas = np.zeros((height, width, 4), np.uint8)
     return canvas
 
 

@@ -51,7 +51,7 @@ def slice_image(image_rgba: np.ndarray, labels_hw: np.ndarray, label: int,
     x, y, w, h = box
     crop = image_rgba[y:y + h, x:x + w]
     mask = labels_hw[y:y + h, x:x + w] == label
-    out = np.zeros((h, w, 4), np.uint8)
+    out = np.zeros((h, w, 4), image_rgba.dtype)
     out[mask] = crop[mask]
     return out
 
@@ -64,10 +64,19 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
                  use_native: bool | None = None) -> bool:
     """Write one PNG per segment plus metadata.bin (image_slicer.cpp:81-130).
 
-    Files land in output_path/file_directory_name/slice_<label>.<ext>;
+    Files land in output_path/file_directory_name/slice_<label>.png;
     metadata.bin is byte-compatible with the reference. Uses the native C++
     slicer+encoder (native/pngio.cpp) when built, unless use_native=False.
+
+    Only "png" is a valid image_format: the lossless-round-trip contract
+    requires it (the reference's write_image also forces IMAGE_FORMAT="png",
+    image_writer.cpp:4-8 + configuration.h:10). Anything else raises rather
+    than silently writing files whose names mismatch their metadata.
     """
+    if image_format != "png":
+        raise ValueError(
+            f"write_slices supports only image_format='png' (lossless "
+            f"round-trip contract), got {image_format!r}")
     out_dir = pathlib.Path(output_path) / file_directory_name
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -75,7 +84,7 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
     labels_hw = np.asarray(labels_hw)
     h_img, w_img = labels_hw.shape
 
-    if use_native is not False and image_format == "png":
+    if use_native is not False and image_rgba.dtype == np.uint8:
         from image_compression_tpu.io import native
         if native.available() and labels_hw.min() >= 0 and \
                 labels_hw.max() < np.iinfo(np.int32).max:

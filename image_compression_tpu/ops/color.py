@@ -28,31 +28,6 @@ def to_u8(image_float01: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(image_float01 * 255.0), 0, 255).astype(jnp.uint8)
 
 
-def rgb_to_lab(rgb01: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3] float RGB in [0,1] -> CIELAB (D65). Used by SLIC, which
-    clusters in Lab like OpenCV's SuperpixelSLIC."""
-    def f(t):
-        delta = 6.0 / 29.0
-        return jnp.where(t > delta ** 3,
-                         jnp.cbrt(t),
-                         t / (3 * delta ** 2) + 4.0 / 29.0)
-
-    def inv_gamma(c):
-        return jnp.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
-
-    r = inv_gamma(rgb01[..., 0])
-    g = inv_gamma(rgb01[..., 1])
-    b = inv_gamma(rgb01[..., 2])
-    x = (0.412453 * r + 0.357580 * g + 0.180423 * b) / 0.950456
-    y = 0.212671 * r + 0.715160 * g + 0.072169 * b
-    z = (0.019334 * r + 0.119193 * g + 0.950227 * b) / 1.088754
-    fx, fy, fz = f(x), f(y), f(z)
-    lab_l = 116.0 * fy - 16.0
-    lab_a = 500.0 * (fx - fy)
-    lab_b = 200.0 * (fy - fz)
-    return jnp.stack([lab_l, lab_a, lab_b], axis=-1)
-
-
 def gaussian_blur(image: jnp.ndarray, ksize: int = 3,
                   sigma: float = 1.0) -> jnp.ndarray:
     """Separable Gaussian blur with reflect-101 borders (cv default).

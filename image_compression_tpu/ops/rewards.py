@@ -63,9 +63,18 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
             min_pixels=min_pixels, l_min=l_min, beta=beta,
             b_match_token=b_match_token, gamma=gamma,
             overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+        # Segments beyond k_max were merged into the last compact slot by
+        # segment_stats, so their pixels ARE estimated (as one pseudo
+        # segment) but their per-slice container overheads are not. The
+        # reference sums estimates over all K segments
+        # (compute_rewards.cu:159-180); recover a lower bound on the missing
+        # bytes: each surplus segment adds at least overhead_base plus one
+        # filter-byte row (finalize_size, png_size_estimator.cu:10-43).
+        surplus = jnp.maximum(stats.num_segments - k_max, 0)
+        total_est = seg_sizes.sum() + surplus * (overhead_base + 1.0)
         k_valid = jnp.sum((stats.counts >= min_pixels) & stats.valid)
         penalty = (k_valid == 1).astype(jnp.float32)
-        gain = (size - seg_sizes.sum()) / size
+        gain = (size - total_est) / size
         return gain - lam * penalty
 
     return jax.vmap(one)(imgs_rgba, labels_bhw,

@@ -86,6 +86,18 @@ class ImageBatches:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            # never block forever on a full queue: a consumer that abandons
+            # the iterator sets `stop`, and the producer must notice even
+            # mid-put or it leaks the thread + its pool
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with concurrent.futures.ThreadPoolExecutor(self.workers) as pool:
                 for idxs in batches:
@@ -103,8 +115,10 @@ class ImageBatches:
                                             np.float32),)
                     if self.yield_indices:
                         item += (np.asarray(idxs, np.int64),)
-                    out_q.put(item if len(item) > 1 else item[0])
-            out_q.put(None)
+                    if not put_checking_stop(item if len(item) > 1
+                                             else item[0]):
+                        return
+            put_checking_stop(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -50,9 +50,9 @@ def ema_baseline_update(value: jnp.ndarray, initialized: jnp.ndarray,
 def whitened_advantage(rewards: jnp.ndarray,
                        baseline: jnp.ndarray) -> jnp.ndarray:
     """adv = (r - b), then standardized with std clamped at 1e-6
-    (training.cpp:178-181)."""
+    (training.cpp:180: adv.std(false) = population std, ddof=0)."""
     adv = rewards - baseline
-    std = jnp.std(adv, ddof=1)
+    std = jnp.std(adv)
     return (adv - adv.mean()) / jnp.maximum(std, 1e-6)
 
 

@@ -94,28 +94,26 @@ uint64_t row_cost(const uint8_t* filtered, int stride) {
     return s;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Encode an 8-bit image to PNG. channels: 1=gray, 2=gray+alpha, 3=RGB,
-// 4=RGBA. Returns a malloc'd buffer in *out (caller frees via
-// pngio_free). Returns 0 on success.
-int pngio_encode(const uint8_t* img, int height, int width, int channels,
-                 int level, uint8_t** out, size_t* out_len) {
-    if (!img || !out || !out_len || height <= 0 || width <= 0 ||
-        channels < 1 || channels > 4)
+// Depth-generic PNG encode core: img_be points at rows already in PNG byte
+// order (big-endian samples for depth 16); bpp/stride are in BYTES. PNG
+// filters operate bytewise regardless of sample depth, so the adaptive
+// min-|int8| filter selection is depth-agnostic.
+int encode_core(const uint8_t* img_be, int height, int width, int channels,
+                int depth, int level, uint8_t** out, size_t* out_len) {
+    if (!img_be || !out || !out_len || height <= 0 || width <= 0 ||
+        channels < 1 || channels > 4 || (depth != 8 && depth != 16))
         return 1;
     static const uint8_t color_types[5] = {0, 0, 4, 2, 6};
-    const int bpp = channels;
-    const int stride = width * channels;
+    const int bpp = channels * (depth / 8);
+    const int stride = width * bpp;
 
     // adaptive filtering: pick min-|int8| filter per row
     std::vector<uint8_t> raw((size_t)height * (stride + 1));
     std::vector<uint8_t> trial(stride);
     for (int y = 0; y < height; ++y) {
-        const uint8_t* cur = img + (size_t)y * stride;
-        const uint8_t* prev = y > 0 ? img + (size_t)(y - 1) * stride : nullptr;
+        const uint8_t* cur = img_be + (size_t)y * stride;
+        const uint8_t* prev =
+            y > 0 ? img_be + (size_t)(y - 1) * stride : nullptr;
         uint8_t best_f = 0;
         uint64_t best_cost = UINT64_MAX;
         uint8_t* dst = raw.data() + (size_t)y * (stride + 1) + 1;
@@ -146,7 +144,7 @@ int pngio_encode(const uint8_t* img, int height, int width, int channels,
     ihdr[2] = (width >> 8) & 0xFF;  ihdr[3] = width & 0xFF;
     ihdr[4] = (height >> 24) & 0xFF; ihdr[5] = (height >> 16) & 0xFF;
     ihdr[6] = (height >> 8) & 0xFF;  ihdr[7] = height & 0xFF;
-    ihdr[8] = 8;                      // bit depth
+    ihdr[8] = (uint8_t)depth;         // bit depth
     ihdr[9] = color_types[channels];  // color type
     ihdr[10] = ihdr[11] = ihdr[12] = 0;
     put_chunk(png, "IHDR", ihdr, 13);
@@ -160,14 +158,44 @@ int pngio_encode(const uint8_t* img, int height, int width, int channels,
     return 0;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Encode an 8-bit image to PNG. channels: 1=gray, 2=gray+alpha, 3=RGB,
+// 4=RGBA. Returns a malloc'd buffer in *out (caller frees via
+// pngio_free). Returns 0 on success.
+int pngio_encode(const uint8_t* img, int height, int width, int channels,
+                 int level, uint8_t** out, size_t* out_len) {
+    return encode_core(img, height, width, channels, 8, level, out, out_len);
+}
+
+// Encode a 16-bit image (native-endian uint16 samples) to a 16-bit PNG.
+int pngio_encode16(const uint16_t* img, int height, int width, int channels,
+                   int level, uint8_t** out, size_t* out_len) {
+    if (!img || height <= 0 || width <= 0 || channels < 1 || channels > 4)
+        return 1;
+    const size_t n = (size_t)height * width * channels;
+    std::vector<uint8_t> be(n * 2);
+    for (size_t i = 0; i < n; ++i) {
+        be[2 * i] = (uint8_t)(img[i] >> 8);
+        be[2 * i + 1] = (uint8_t)(img[i] & 0xFF);
+    }
+    return encode_core(be.data(), height, width, channels, 16, level, out,
+                       out_len);
+}
+
 void pngio_free(uint8_t* p) { std::free(p); }
 
-// Decode an 8-bit PNG (color types 0/2/4/6, no interlace). Caller provides
-// the output query: first call with out=nullptr fills *height/*width/
-// *channels; second call with an adequately sized out buffer decodes.
+// Decode an 8- or 16-bit PNG (color types 0/2/4/6, no interlace). Caller
+// provides the output query: first call with out=nullptr fills
+// *height/*width/*channels/*bit_depth; second call with an adequately sized
+// out buffer decodes (uint8 samples for depth 8, native-endian uint16 for
+// depth 16).
 int pngio_decode(const uint8_t* data, size_t len, uint8_t* out, int* height,
-                 int* width, int* channels) {
-    if (!data || len < 45 || !height || !width || !channels) return 1;
+                 int* width, int* channels, int* bit_depth) {
+    if (!data || len < 45 || !height || !width || !channels || !bit_depth)
+        return 1;
     static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
     if (std::memcmp(data, sig, 8) != 0) return 2;
 
@@ -195,7 +223,7 @@ int pngio_decode(const uint8_t* data, size_t len, uint8_t* out, int* height,
         }
         pos += 12 + clen;
     }
-    if (depth != 8) return 5;
+    if (depth != 8 && depth != 16) return 5;
     int ch;
     switch (color) {
         case 0: ch = 1; break;
@@ -207,25 +235,30 @@ int pngio_decode(const uint8_t* data, size_t len, uint8_t* out, int* height,
     *height = h;
     *width = w;
     *channels = ch;
+    *bit_depth = depth;
     if (!out) return 0;
 
-    const int stride = w * ch;
+    const int bpp = ch * (depth / 8);
+    const int stride = w * bpp;
     std::vector<uint8_t> raw((size_t)h * (stride + 1));
     uLongf raw_len = (uLongf)raw.size();
     if (uncompress(raw.data(), &raw_len, idat.data(), (uLong)idat.size()) !=
             Z_OK || raw_len != raw.size())
         return 7;
 
+    // unfilter in place in `raw` payload bytes (PNG byte order), then emit
+    std::vector<uint8_t> decoded((size_t)h * stride);
     for (int y = 0; y < h; ++y) {
         const uint8_t* src = raw.data() + (size_t)y * (stride + 1);
         uint8_t filter = src[0];
         ++src;
-        uint8_t* dst = out + (size_t)y * stride;
-        const uint8_t* prev = y > 0 ? out + (size_t)(y - 1) * stride : nullptr;
+        uint8_t* dst = decoded.data() + (size_t)y * stride;
+        const uint8_t* prev =
+            y > 0 ? decoded.data() + (size_t)(y - 1) * stride : nullptr;
         for (int i = 0; i < stride; ++i) {
-            int left = i >= ch ? dst[i - ch] : 0;
+            int left = i >= bpp ? dst[i - bpp] : 0;
             int up = prev ? prev[i] : 0;
-            int ul = (prev && i >= ch) ? prev[i - ch] : 0;
+            int ul = (prev && i >= bpp) ? prev[i - bpp] : 0;
             int pred = 0;
             switch (filter) {
                 case 0: pred = 0; break;
@@ -236,6 +269,15 @@ int pngio_decode(const uint8_t* data, size_t len, uint8_t* out, int* height,
             }
             dst[i] = (uint8_t)(src[i] + pred);
         }
+    }
+    if (depth == 8) {
+        std::memcpy(out, decoded.data(), decoded.size());
+    } else {
+        uint16_t* out16 = (uint16_t*)out;
+        const size_t n = (size_t)h * w * ch;
+        for (size_t i = 0; i < n; ++i)
+            out16[i] =
+                (uint16_t)((decoded[2 * i] << 8) | decoded[2 * i + 1]);
     }
     return 0;
 }

@@ -135,8 +135,8 @@ def test_advantage_whitening():
     r = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     adv = whitened_advantage(r, jnp.asarray(2.5))
     np.testing.assert_allclose(float(adv.mean()), 0.0, atol=1e-6)
-    # torch .std(false) is the sample std (unbiased, ddof=1)
-    np.testing.assert_allclose(float(jnp.std(adv, ddof=1)), 1.0, rtol=1e-5)
+    # torch .std(false) is the population std (biased, ddof=0)
+    np.testing.assert_allclose(float(jnp.std(adv)), 1.0, rtol=1e-5)
 
 
 def test_reinforce_loss_direction():

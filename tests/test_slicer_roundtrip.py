@@ -77,3 +77,45 @@ def test_write_image_forces_png_suffix(tmp_path, rng):
     img = rng.integers(0, 256, (8, 8, 3), np.uint8)
     assert write_image(tmp_path / "x.jpeg", img)
     assert (tmp_path / "x.png").exists()
+
+def test_write_slices_rejects_non_png_format(tmp_path, rng):
+    """image_format != png would write files whose names mismatch their
+    metadata (write_image forces .png); it must be rejected up front."""
+    import pytest
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    labels = np.zeros((8, 8), np.int64)
+    with pytest.raises(ValueError, match="png"):
+        write_slices(img, labels, tmp_path, "bad", image_format="jpeg")
+
+
+def test_roundtrip_16bit(tmp_path, rng):
+    """16-bit images keep their depth through slice -> reassemble
+    (reference loads IMREAD_UNCHANGED, image_loader.cpp:34-43)."""
+    img = rng.integers(0, 65536, (24, 20, 3), np.uint16)
+    labels = random_rect_partition(24, 20, min_h=4, min_w=4, seed=5)
+    assert write_slices(img, labels, tmp_path, "deep")
+    canvas = reassemble_array(tmp_path / "deep")
+    assert canvas.dtype == np.uint16
+    np.testing.assert_array_equal(canvas, ensure_rgba(img))
+
+
+def test_write_load_16bit_image(tmp_path, rng):
+    for c in (1, 3, 4):
+        img = rng.integers(0, 65536, (10, 12, c), np.uint16)
+        assert write_image(tmp_path / f"d{c}.png", img)
+        back = load_image(tmp_path / f"d{c}.png")
+        assert back.dtype == np.uint16
+        np.testing.assert_array_equal(back, img)
+
+
+def test_load_gray_alpha_png(tmp_path, rng):
+    """Gray+alpha (color type 4) decodes to RGBA regardless of the decode
+    path (native returns 2ch; PIL converts LA)."""
+    from PIL import Image
+    la = rng.integers(0, 256, (9, 7, 2), np.uint8)
+    Image.fromarray(la, mode="LA").save(tmp_path / "la.png")
+    arr = load_image(tmp_path / "la.png")
+    assert arr.shape == (9, 7, 4)
+    np.testing.assert_array_equal(arr[:, :, 0], la[:, :, 0])
+    np.testing.assert_array_equal(arr[:, :, 2], la[:, :, 0])
+    np.testing.assert_array_equal(arr[:, :, 3], la[:, :, 1])
