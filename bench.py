@@ -25,7 +25,7 @@ def main():
                                                  split_model_output,
                                                  squash_mu)
     from image_compression_tpu.ops.multicut import multicut_grid
-    from image_compression_tpu.ops.segment_stats import segment_stats
+    from image_compression_tpu.ops.segment_stats import segment_stats_minlabel
 
     batch, size = 32, 256
     model = EdgeUNet()
@@ -46,7 +46,7 @@ def main():
         mu_raw, _ = split_model_output(out)
         mu = squash_mu(mu_raw) * edge_validity_masks(size, size)
         labels = jax.vmap(multicut_grid)(mu)
-        stats = jax.vmap(lambda l: segment_stats(l, 64))(labels)
+        stats = jax.vmap(lambda l: segment_stats_minlabel(l, 64))(labels)
         return labels, stats.counts
 
     # warmup/compile + full sync via scalar fetch (block_until_ready does not

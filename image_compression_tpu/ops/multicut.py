@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from image_compression_tpu.ops.multicut_hier import (
+    globalize, hier_gaec, plan_levels, smallest_pixel_labels)
 from image_compression_tpu.ops.multicut_tiles import (
     boundary_edges, tile_presolve)
 
@@ -229,12 +231,13 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
                    static_argnames=("max_rounds", "mode", "icm_sweeps",
                                     "matchings_per_round", "tile",
                                     "presolve_rounds", "boundary_rounds",
-                                    "return_rounds"))
+                                    "return_rounds", "hier"))
 def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                   mode: str = "chain", icm_sweeps: int = 8,
                   matchings_per_round: int = 4, tile: int = 16,
                   presolve_rounds: int = 4, boundary_rounds: int = 4,
-                  return_rounds: bool = False) -> jnp.ndarray:
+                  return_rounds: bool = False,
+                  hier: bool = True) -> jnp.ndarray:
     """Solve multicut on the 4-connected grid.
 
     Multilevel greedy additive edge contraction (GAEC), the TPU mapping of
@@ -277,6 +280,43 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
     n = height * width
     costs_f32 = costs_hw2.astype(jnp.float32)
     w_all = costs_f32.reshape(-1)
+
+    # --- sort-free hierarchical dense path (ops/multicut_hier.py) ----------
+    # Used whenever the grid admits at least two doubling levels; the sorted
+    # machinery below remains for tiny/odd shapes and as the finishing stage
+    # when the top supertile is smaller than the image (H != W cases).
+    # "mutual" and "hybrid" stay on the sorted path: mutual-only matching
+    # converges too slowly per level, overflowing the dense slot caps.
+    hier_sides = plan_levels(height, width, 8) if hier else []
+    if len(hier_sides) >= 2 and mode in ("chain", "random_mate"):
+        res = hier_gaec(costs_f32, mode=mode)
+        labels = smallest_pixel_labels(res)
+        rounds = jnp.asarray(0)
+        if res.top_tile != height or res.top_tile != width:
+            # non-square remainder: finish with sorted global rounds over the
+            # remaining inter-supertile merges. Normalize ids to pixel-index
+            # space first (frozen ids are >= n); former frozen regions simply
+            # rejoin contraction here — the sorted rounds have no slot caps.
+            root = relabel_connected(labels).reshape(-1)
+
+            def grid_endpoints_h(r):
+                img = r.reshape(height, width)
+                right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+                down = jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+                return (jnp.stack([img, img], -1).reshape(-1),
+                        jnp.stack([right, down], -1).reshape(-1))
+
+            root, rounds = _contract_rounds(
+                root, grid_endpoints_h, w_all, n,
+                max_rounds=max(max_rounds, 1), mode=mode,
+                matchings_per_round=matchings_per_round, salt_base=90_000)
+            labels = root.reshape(height, width)
+        if icm_sweeps > 0:
+            labels = _icm_refine(labels, costs_f32, icm_sweeps)
+            labels = relabel_connected(labels)
+        if return_rounds:
+            return labels, rounds
+        return labels
 
     use_presolve = (tile > 1 and height % tile == 0 and width % tile == 0
                     and height > tile and width > tile and presolve_rounds > 0)

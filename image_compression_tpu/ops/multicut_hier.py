@@ -1,0 +1,324 @@
+"""Hierarchical dense GAEC: the sort-free multicut contraction path.
+
+Round-1 profiling showed the sorted global rounds of ops/multicut.py dominate
+the compress budget (~9 ms/img per round on v5e): a 2*H*W-key sort plus
+pixel-space (n = H*W) segment reductions and pointer-jump gathers per round,
+all of which serialize badly on TPU. This module replaces them with a
+multilevel scheme in which NOTHING is ever sorted, scattered, or gathered in
+pixel space:
+
+  * the image is covered by supertiles whose side doubles per level
+    (8 -> 16 -> 32 -> ... -> min(H, W));
+  * within a supertile, regions are *rank-compacted* to a static slot count S,
+    so the per-pair aggregated-cost matrix [S, S] is dense and small;
+  * pair aggregation is a one-hot matmul over the supertile's grid edges
+    (MXU), best-partner selection a dense argmax, and every id lookup a
+    slot-space one-hot matmul — the exact ops TPU is fastest at;
+  * pixels carry their region's rank within the current supertile; the level
+    transition is ELEMENTWISE (new rank = subtile rank + per-subtile offset),
+    because compaction keeps ranks dense in [0, n_regions).
+
+Each level's rounds recompute exact aggregated pair costs from the original
+edge weights, preserving the GAEC semantics of the reference's RAMA solver
+(rama_wrapper.cu:52-127; parallel contraction per arXiv:2109.01838).
+
+Slot-cap overflow (more regions in a supertile than S slots) FREEZES the
+surplus regions: a frozen region keeps a unique final id, takes no further
+part in any merge (its pixels carry rank -1, whose one-hot rows are zero),
+and is emitted unchanged in the final labeling. Freezing can only cost
+objective (a merge not taken), never correctness — the all-negative-costs
+"everything stays a singleton" invariant holds exactly. Caps are sized so
+freezing is rare on real cost fields; `hier_gaec` reports how many regions
+froze.
+
+Precision: pair matmuls use bf16 one-hots carrying bf16-rounded edge weights
+with float32 MXU accumulation (documented divergence: weights quantized to
+bf16, <0.4% each, for half the HBM traffic — merge decisions are threshold
+comparisons and the final objective is evaluated in f32). Id-valued lookups
+use f32 one-hots: ids < 2^24 are exact.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class HierResult(NamedTuple):
+    rank_img: jnp.ndarray   # [H, W] int32 rank within its top tile; -1 frozen
+    n_regions: jnp.ndarray  # [T_top] int32 live regions per top-level tile
+    frozen: jnp.ndarray     # [H, W] bool: pixel belongs to a frozen region
+    final_gid: jnp.ndarray  # [H, W] int32 unique id where frozen (>= H*W)
+    overflow: jnp.ndarray   # scalar int32: total regions frozen
+    top_tile: int           # side of the top-level supertile (static)
+    top_slots: int          # slot cap at the top level (static)
+
+
+def _to_tiles(img: jnp.ndarray, s: int) -> jnp.ndarray:
+    """[H, W] -> [T, s*s], tiles row-major."""
+    height, width = img.shape
+    return (img.reshape(height // s, s, width // s, s)
+            .transpose(0, 2, 1, 3).reshape(-1, s * s))
+
+
+def _from_tiles(tiles: jnp.ndarray, height: int, width: int,
+                s: int) -> jnp.ndarray:
+    """[T, s*s] -> [H, W]."""
+    return (tiles.reshape(height // s, width // s, s, s)
+            .transpose(0, 2, 1, 3).reshape(height, width))
+
+
+def _take_slots(vec: jnp.ndarray, idx: jnp.ndarray, slots: int) -> jnp.ndarray:
+    """vec[t, idx[t, i]] via a one-hot matmul (no serialized gathers).
+
+    vec: [T, S] float32 values exact in f32 (ids/flags), idx: [T, I].
+    """
+    oh = jax.nn.one_hot(idx, slots, dtype=jnp.float32)
+    return jnp.einsum("tis,ts->ti", oh, vec,
+                      preferred_element_type=jnp.float32)
+
+
+def _level_weights(costs_hw2: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Edge weights [T, E] for one level: all grid edges, zeroed where the
+    edge crosses a supertile boundary (those activate at higher levels) or is
+    a padding slot. E = 2*s*s, horizontal plane then vertical."""
+    height, width = costs_hw2.shape[:2]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    wh = jnp.where((xs % s != s - 1) & (xs + 1 < width),
+                   costs_hw2[..., 0], 0.0)
+    wv = jnp.where((ys % s != s - 1) & (ys + 1 < height),
+                   costs_hw2[..., 1], 0.0)
+    return jnp.concatenate([_to_tiles(wh, s), _to_tiles(wv, s)], axis=1)
+
+
+def _edge_endpoint_ranks(rank_img: jnp.ndarray,
+                         s: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Current rank of each edge's endpoints, [T, 2*s*s] each, via plane
+    shifts (tile-crossing edges read a neighboring tile's rank, but their
+    weight is zero so they never participate)."""
+    height, width = rank_img.shape
+    right = jnp.concatenate([rank_img[:, 1:], rank_img[:, -1:]], axis=1)
+    down = jnp.concatenate([rank_img[1:, :], rank_img[-1:, :]], axis=0)
+    a = jnp.concatenate([_to_tiles(rank_img, s), _to_tiles(rank_img, s)],
+                        axis=1)
+    b = jnp.concatenate([_to_tiles(right, s), _to_tiles(down, s)], axis=1)
+    return a, b
+
+
+def _dense_rounds(rank_img: jnp.ndarray, w_e: jnp.ndarray, s: int,
+                  slots: int, rounds: int, mode: str,
+                  level_salt: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """GAEC rounds at one level. rank_img [H, W] with ranks in [0, slots).
+    Returns (rank_img, n_alive [T]) with ranks re-compacted to be dense."""
+    height, width = rank_img.shape
+    t_count = (height // s) * (width // s)
+    ids = jnp.arange(slots, dtype=jnp.int32)[None, :]  # [1, S]
+    ids_f = ids.astype(jnp.float32)
+    w_bf = w_e.astype(jnp.bfloat16)
+
+    def one_round(r, rank_img):
+        a, b = _edge_endpoint_ranks(rank_img, s)
+        active = (a != b) & (w_e != 0.0)
+        we = jnp.where(active, w_bf, jnp.bfloat16(0))
+
+        # dense pair-cost matrix per tile on the MXU (bf16 in, f32 out)
+        oh_aw = jax.nn.one_hot(a, slots, dtype=jnp.bfloat16) * we[..., None]
+        oh_b = jax.nn.one_hot(b, slots, dtype=jnp.bfloat16)
+        pair = jnp.einsum("tea,teb->tab", oh_aw, oh_b,
+                          preferred_element_type=jnp.float32)
+        sym = pair + jnp.swapaxes(pair, 1, 2)  # [T, S, S]
+
+        best = jnp.max(sym, axis=-1)                        # [T, S]
+        partner = jnp.argmax(sym, axis=-1).astype(jnp.int32)
+        merge = best > 0.0
+        partner_safe = jnp.where(merge, partner, 0)
+
+        pp = _take_slots(partner.astype(jnp.float32), partner_safe, slots)
+        mutual = merge & (pp == ids_f)
+        if mode == "mutual":
+            merge = mutual
+        elif mode == "random_mate":
+            coin = jax.random.bernoulli(
+                jax.random.fold_in(jax.random.PRNGKey(3), level_salt + r),
+                0.5, (t_count, slots))
+            tails = merge & ~coin & (_take_slots(
+                coin.astype(jnp.float32), partner_safe, slots) > 0.5)
+            merge = mutual | tails
+        # mode == "chain": hook everything
+
+        nxt = jnp.where(merge, partner, ids)
+        nn = _take_slots(nxt.astype(jnp.float32), nxt, slots)
+        two_cycle = (nn == ids_f) & (ids < nxt)
+        nxt = jnp.where(two_cycle, ids, nxt)
+        doublings = 3 if mode == "chain" else 2
+        nxt_f = nxt.astype(jnp.float32)
+        for _ in range(doublings):
+            nxt_f = _take_slots(nxt_f, nxt_f.astype(jnp.int32), slots)
+
+        # apply the slot map to pixel ranks (one-hot matmul, no gathers);
+        # frozen pixels (rank -1, all-zero one-hot row) stay frozen
+        ranks_t = _to_tiles(rank_img, s)
+        new_t = jnp.where(ranks_t < 0, -1,
+                          _take_slots(nxt_f, ranks_t, slots).astype(jnp.int32))
+        return _from_tiles(new_t, height, width, s)
+
+    for r in range(rounds):
+        rank_img = one_round(r, rank_img)
+
+    # --- compact: re-rank live slots densely --------------------------------
+    ranks_t = _to_tiles(rank_img, s)
+    # a slot is live iff some non-frozen pixel carries it
+    alive = jnp.max(jax.nn.one_hot(ranks_t, slots, dtype=jnp.float32),
+                    axis=1) > 0                             # [T, S]
+    new_rank = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+    n_alive = new_rank[:, -1] + 1
+    g = jnp.where(ranks_t < 0, -1,
+                  _take_slots(new_rank.astype(jnp.float32), ranks_t,
+                              slots).astype(jnp.int32))
+    return _from_tiles(g, height, width, s), n_alive
+
+
+def plan_levels(height: int, width: int, base: int = 8) -> list[int]:
+    """Supertile sides for the hierarchy: base, 2*base, ... while they divide
+    both dims. Empty if base does not divide the image."""
+    if height % base or width % base or height < base or width < base:
+        return []
+    sides = []
+    s = base
+    while height % s == 0 and width % s == 0 and s <= min(height, width):
+        sides.append(s)
+        s *= 2
+    return sides
+
+
+def default_caps(sides: Sequence[int]) -> list[int]:
+    """Slot caps per level. The first level is exact (s^2 singleton slots);
+    later caps trade HBM traffic (one-hot matmuls scale with S) against
+    freezing risk. Sized from measured region counts on noisy cost fields
+    (benchmarks/profile_multicut.py: ~45 live regions per 16x16 tile on the
+    worst bench workload, sublinear growth with tile area above that);
+    tightening from [.., 512, 512, ..] to this ramp cut the 256px solve 30%
+    at identical objective and zero freezes."""
+    caps = []
+    for i, s in enumerate(sides):
+        if i == 0:
+            caps.append(s * s)
+        else:
+            caps.append(int(min(4 * caps[-1], s * s, 64 + 64 * i)))
+    return caps
+
+
+def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
+              rounds_per_level: Sequence[int] | None = None,
+              caps: Sequence[int] | None = None) -> HierResult:
+    """Run the dense hierarchy over all divisible levels.
+
+    Returns per-pixel region ranks within the top-level supertile plus the
+    static top-tile geometry so callers can globalize ids (see
+    ops/multicut.py::multicut_grid, which finishes with sorted rounds only if
+    the top tile is smaller than the image).
+    """
+    height, width = costs_hw2.shape[:2]
+    sides = plan_levels(height, width, base)
+    if not sides:
+        raise ValueError(f"image {height}x{width} not divisible by {base}")
+    if caps is None:
+        caps = default_caps(sides)
+    if rounds_per_level is None:
+        rounds_per_level = [4, 3] + [2] * (len(sides) - 2)
+
+    costs_f32 = costs_hw2.astype(jnp.float32)
+    n = height * width
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+
+    overflow = jnp.int32(0)
+    frozen = jnp.zeros((height, width), bool)
+    final_gid = jnp.zeros((height, width), jnp.int32)
+    rank_img = None
+    ncand = None
+    for i, s in enumerate(sides):
+        slots = int(caps[i])
+        if i == 0:
+            rank_img = (ys % s) * s + (xs % s)
+        else:
+            # level transition: offset each subtile's dense ranks by the
+            # number of live regions in the preceding subtiles (elementwise;
+            # quad order (0,0), (0,1), (1,0), (1,1) within each new tile)
+            prev_s = sides[i - 1]
+            th_p, tw_p = height // prev_s, width // prev_s
+            counts = ncand.reshape(th_p, tw_p)
+            c00 = counts[0::2, 0::2]
+            c01 = counts[0::2, 1::2]
+            c10 = counts[1::2, 0::2]
+            off = jnp.stack([
+                jnp.stack([jnp.zeros_like(c00), c00], -1),
+                jnp.stack([c00 + c01, c00 + c01 + c10], -1),
+            ], -2)                                # [th', tw', qy, qx]
+            off_prev = (off.transpose(0, 2, 1, 3)
+                        .reshape(th_p, tw_p))     # per previous-level tile
+            off_img = jnp.repeat(jnp.repeat(off_prev, prev_s, axis=0),
+                                 prev_s, axis=1)
+            cand_img = rank_img + off_img
+            # freeze whole regions that don't fit the cap: they keep a
+            # unique id (level i, previous-level tile, rank — all shared by
+            # exactly the region's pixels) offset by i*n to stay disjoint
+            # from pixel-index labels and other levels' frozen ids
+            newly = ~frozen & (rank_img >= 0) & (cand_img >= slots)
+            prev_tile_idx = (ys // prev_s) * tw_p + (xs // prev_s)
+            prev_slots = int(caps[i - 1])
+            gid_prev = prev_tile_idx * prev_slots + rank_img
+            final_gid = jnp.where(newly, i * n + gid_prev, final_gid)
+            frozen = frozen | newly
+            rank_img = jnp.where(frozen, -1, cand_img)
+            # frozen regions counted once each (they occupy no slot)
+            overflow = overflow + jnp.sum(
+                jnp.maximum((c00 + c01 + c10 +
+                             counts[1::2, 1::2]).reshape(-1) - slots, 0))
+
+        w_e = _level_weights(costs_f32, s)
+        rank_img, ncand = _dense_rounds(
+            rank_img, w_e, s, slots, int(rounds_per_level[i]), mode,
+            level_salt=1000 * i)
+
+    return HierResult(rank_img, ncand, frozen, final_gid, overflow,
+                      sides[-1], int(caps[-1]))
+
+
+def globalize(res: HierResult, height: int, width: int) -> jnp.ndarray:
+    """Per-pixel region ids across the whole image from top-tile ranks:
+    id = top_tile_index * top_slots + rank (< T*S <= H*W). Frozen pixels get
+    the sentinel H*W — callers running further contraction must treat ids
+    >= H*W as inactive and re-apply `res.final_gid` to frozen pixels after
+    (ops/multicut.py does both)."""
+    s, slots = res.top_tile, res.top_slots
+    tw = width // s
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    tile_idx = (ys // s) * tw + (xs // s)
+    return jnp.where(res.frozen, height * width,
+                     tile_idx * slots + res.rank_img)
+
+
+def smallest_pixel_labels(res: HierResult) -> jnp.ndarray:
+    """Relabel top-tile ranks to each region's smallest pixel index — the
+    public label contract — via a masked min over slot columns (pixel ids
+    < 2^24 are exact in f32). Frozen regions keep their unique final_gid
+    (>= H*W, disjoint from pixel indices)."""
+    height, width = res.rank_img.shape
+    s, slots = res.top_tile, res.top_slots
+    ranks_t = _to_tiles(res.rank_img, s)                    # [T, s*s]
+    n = height * width
+    # global pixel index of each (tile, local) position
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    pix_t = _to_tiles(ys * width + xs, s).astype(jnp.float32)
+    oh = jax.nn.one_hot(ranks_t, slots, dtype=jnp.float32)  # [T, P, S]
+    masked = jnp.where(oh > 0, pix_t[..., None], float(n))
+    mins = jnp.min(masked, axis=1)                          # [T, S]
+    lab_t = _take_slots(mins, ranks_t, slots).astype(jnp.int32)
+    labels = _from_tiles(lab_t, height, width, s)
+    return jnp.where(res.frozen, res.final_gid, labels)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from image_compression_tpu.ops.png_estimator import (
     estimate_segment_png_sizes, estimate_segment_png_sizes_fast)
-from image_compression_tpu.ops.segment_stats import segment_stats
+from image_compression_tpu.ops.segment_stats import (segment_stats,
+                                                     segment_stats_minlabel)
 
 
 def to_rgba_u8(images_f01: jnp.ndarray) -> jnp.ndarray:
@@ -38,7 +39,8 @@ def to_rgba_u8(images_f01: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit,
                    static_argnames=("k_max", "min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter", "lam", "fast"))
+                                    "adaptive_filter", "lam", "fast",
+                                    "minlabel"))
 def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             image_sizes_b: jnp.ndarray, *, k_max: int = 64,
                             min_pixels: int = 1, l_min: int = 4,
@@ -47,17 +49,23 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             overhead_base: float = 9.308622,
                             adaptive_filter: bool = True,
                             lam: float = 0.5,
-                            fast: bool = True) -> jnp.ndarray:
+                            fast: bool = True,
+                            minlabel: bool = False) -> jnp.ndarray:
     """images [B, H, W, 3] float [0,1]; labels [B, H, W] int; sizes [B]
     (on-disk byte counts). Returns rewards [B] float32. Defaults mirror
-    compute_rewards.cuh:5-17."""
+    compute_rewards.cuh:5-17.
+
+    minlabel=True selects the sort-free segment-stats path; it requires
+    labels that are each region's smallest pixel index with connected
+    regions — exactly what multicut_grid emits (the RL step sets it)."""
     imgs_rgba = to_rgba_u8(images_f01)
 
     estimator = (estimate_segment_png_sizes_fast if fast
                  else estimate_segment_png_sizes)
+    stats_fn = segment_stats_minlabel if minlabel else segment_stats
 
     def one(img, labels, size):
-        stats = segment_stats(labels, k_max)
+        stats = stats_fn(labels, k_max)
         seg_sizes = estimator(
             img, stats.inverse, stats.counts, stats.bboxes, stats.valid,
             min_pixels=min_pixels, l_min=l_min, beta=beta,

@@ -73,3 +73,52 @@ def segment_stats(labels_hw: jnp.ndarray, k_max: int) -> SegmentStats:
                         counts.astype(jnp.int32), bboxes, valid,
                         num_segments.astype(jnp.int32),
                         num_segments > k_max)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def segment_stats_minlabel(labels_hw: jnp.ndarray, k_max: int) -> SegmentStats:
+    """Sort-free segment stats for labels satisfying the multicut output
+    contract: label = smallest pixel index of its region (what multicut_grid
+    returns after relabel_connected).
+
+    A pixel is its region's representative iff its own flat index equals its
+    label, so compact ids are a cumsum of representative flags (ascending
+    label order — identical semantics to the sorted path). Each pixel fetches
+    its root's rank with a matmul table lookup (ops/lookup.py) — no sort, no
+    gather: replaces the 2*H*W-element sort that dominated segment_stats on
+    TPU. Counts and bboxes come from k_max-slot one-hot reductions.
+    Output-identical to segment_stats for conforming labels
+    (tests/test_segment_stats.py cross-checks)."""
+    from image_compression_tpu.ops.lookup import matmul_lookup
+
+    height, width = labels_hw.shape
+    n = height * width
+    labels_hw = labels_hw.astype(jnp.int32)
+    flat = labels_hw.reshape(-1)
+    pix = jnp.arange(n, dtype=jnp.int32)
+    rep = flat == pix
+    rank_cum = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    num_segments = rank_cum[-1] + 1
+
+    inverse = matmul_lookup(rank_cum.astype(jnp.float32),
+                            flat).astype(jnp.int32).reshape(height, width)
+    inverse = jnp.minimum(inverse, k_max - 1)
+
+    # counts / bboxes via one-hot reductions over k_max slots (no atomics,
+    # no scatters; bf16 one-hots are exact 0/1)
+    oh = jax.nn.one_hot(inverse.reshape(-1), k_max, dtype=jnp.bfloat16)
+    counts = jnp.sum(oh.astype(jnp.float32), axis=0).astype(jnp.int32)
+    ys = jax.lax.broadcasted_iota(
+        jnp.int32, (height, width), 0).reshape(-1, 1).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(
+        jnp.int32, (height, width), 1).reshape(-1, 1).astype(jnp.float32)
+    inside = oh > 0
+    x0 = jnp.min(jnp.where(inside, xs, float(width)), axis=0)
+    y0 = jnp.min(jnp.where(inside, ys, float(height)), axis=0)
+    x1 = jnp.max(jnp.where(inside, xs, -1.0), axis=0)
+    y1 = jnp.max(jnp.where(inside, ys, -1.0), axis=0)
+    bboxes = jnp.stack([x0, y0, x1, y1], axis=-1).astype(jnp.int32)
+    valid = jnp.arange(k_max) < num_segments
+    return SegmentStats(inverse, counts, bboxes, valid,
+                        num_segments.astype(jnp.int32),
+                        num_segments > k_max)

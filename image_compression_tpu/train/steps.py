@@ -140,13 +140,16 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
             # multicut + reward outside autograd (training.cpp:164-175)
             w = jax.lax.stop_gradient(sample.w)
             labels = segment(w, height, width)
+            # minlabel: multicut labels are smallest-pixel-index connected
+            # regions, enabling the sort-free segment-stats path
             rewards = compute_rewards_batched(
                 images, labels, image_sizes, k_max=rw.max_segments,
                 min_pixels=rw.min_pixels_per_segment, l_min=rw.l_min,
                 beta=rw.beta, b_match_token=rw.b_match_token, gamma=rw.gamma,
                 overhead_base=rw.overhead_base,
                 adaptive_filter=rw.adaptive_filter,
-                lam=rw.lambda_single_segment)
+                lam=rw.lambda_single_segment,
+                minlabel=mc.icm_sweeps > 0)
             rewards = jax.lax.stop_gradient(rewards)
 
             baseline, binit = ema_baseline_update(
@@ -188,7 +191,8 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
             beta=rw.beta, b_match_token=rw.b_match_token, gamma=rw.gamma,
             overhead_base=rw.overhead_base,
             adaptive_filter=rw.adaptive_filter,
-            lam=rw.lambda_single_segment)
+            lam=rw.lambda_single_segment,
+            minlabel=mc.icm_sweeps > 0)
         return rewards
 
     return evaluate
