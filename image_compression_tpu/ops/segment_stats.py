@@ -82,43 +82,69 @@ def segment_stats_minlabel(labels_hw: jnp.ndarray, k_max: int) -> SegmentStats:
     returns after relabel_connected).
 
     A pixel is its region's representative iff its own flat index equals its
-    label, so compact ids are a cumsum of representative flags (ascending
-    label order — identical semantics to the sorted path). Each pixel fetches
-    its root's rank with a matmul table lookup (ops/lookup.py) — no sort, no
-    gather: replaces the 2*H*W-element sort that dominated segment_stats on
-    TPU. Counts and bboxes come from k_max-slot one-hot reductions.
-    Output-identical to segment_stats for conforming labels
+    label, so compact ids are ranks of representatives in pixel order
+    (ascending label order — identical semantics to the sorted path). The
+    rank-k representative's pixel index (label_of_slot) comes from TWO-LEVEL
+    counting — per-row rep counts locate its row via a [H, k_max] compare,
+    a W-wide row gather + compare locates its column — so nothing pixel-sized
+    is ever sorted, scanned globally, gathered per element, or scattered.
+    One [H, W, k_max] bf16 one-hot (equality against label_of_slot, with
+    rank >= k_max clamping into slot k_max-1 exactly like the sorted path)
+    is materialized once and read three times: compact ids via a slot-index
+    matmul, and counts/bboxes via row/column marginal count matrices
+    ([H, k_max] / [W, k_max]) whose min/max over the short axis yields the
+    boxes. Output-identical to segment_stats for conforming labels
     (tests/test_segment_stats.py cross-checks)."""
-    from image_compression_tpu.ops.lookup import matmul_lookup
-
     height, width = labels_hw.shape
     n = height * width
     labels_hw = labels_hw.astype(jnp.int32)
-    flat = labels_hw.reshape(-1)
-    pix = jnp.arange(n, dtype=jnp.int32)
-    rep = flat == pix
-    rank_cum = jnp.cumsum(rep.astype(jnp.int32)) - 1
-    num_segments = rank_cum[-1] + 1
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    rep = labels_hw == ys * width + xs
 
-    inverse = matmul_lookup(rank_cum.astype(jnp.float32),
-                            flat).astype(jnp.int32).reshape(height, width)
-    inverse = jnp.minimum(inverse, k_max - 1)
+    row_counts = jnp.sum(rep.astype(jnp.int32), axis=1)      # [H]
+    cum_rows = jnp.cumsum(row_counts)                        # [H] inclusive
+    row_start = cum_rows - row_counts                        # [H] exclusive
+    num_segments = cum_rows[-1]
+    row_cum = jnp.cumsum(rep.astype(jnp.int32), axis=1)      # [H, W] inclusive
 
-    # counts / bboxes via one-hot reductions over k_max slots (no atomics,
-    # no scatters; bf16 one-hots are exact 0/1)
-    oh = jax.nn.one_hot(inverse.reshape(-1), k_max, dtype=jnp.bfloat16)
-    counts = jnp.sum(oh.astype(jnp.float32), axis=0).astype(jnp.int32)
-    ys = jax.lax.broadcasted_iota(
-        jnp.int32, (height, width), 0).reshape(-1, 1).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(
-        jnp.int32, (height, width), 1).reshape(-1, 1).astype(jnp.float32)
-    inside = oh > 0
-    x0 = jnp.min(jnp.where(inside, xs, float(width)), axis=0)
-    y0 = jnp.min(jnp.where(inside, ys, float(height)), axis=0)
-    x1 = jnp.max(jnp.where(inside, xs, -1.0), axis=0)
-    y1 = jnp.max(jnp.where(inside, ys, -1.0), axis=0)
+    ks = jnp.arange(k_max, dtype=jnp.int32)
+    # row holding the rank-k representative: first y with cum_rows > k
+    row_k = jnp.sum((cum_rows[:, None] <= ks[None, :])
+                    .astype(jnp.int32), axis=0)              # [k_max]
+    row_k_c = jnp.minimum(row_k, height - 1)
+    sel = row_cum[row_k_c]                                   # [k_max, W]
+    tgt = ks - row_start[row_k_c]                            # rank within row
+    # first x with row_cum > tgt (sel is non-decreasing along W)
+    x_k = jnp.sum((sel <= tgt[:, None]).astype(jnp.int32), axis=1)
+    label_of_slot = jnp.where(ks < num_segments,
+                              row_k * width + x_k, n)        # [k_max]
+
+    # one-hot over slots: equality for k < k_max-1; the last slot also
+    # absorbs overflow pixels (rank >= k_max), matching the sorted clamp
+    lab3 = labels_hw[..., None]
+    oh = jnp.where(ks[None, None, :] == k_max - 1,
+                   lab3 >= label_of_slot[k_max - 1],
+                   lab3 == label_of_slot[None, None, :]).astype(jnp.bfloat16)
+
+    # compact ids: each pixel's single nonzero slot times its index (exact:
+    # bf16 holds integers through 256 and each sum has one nonzero term)
+    inverse = jnp.einsum("hwk,k->hw", oh, ks.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    # marginal count matrices (entries <= H, W <= bf16-exact via f32 acc)
+    col_cnt = jnp.sum(oh, axis=0, dtype=jnp.float32)         # [W, k_max]
+    row_cnt = jnp.sum(oh, axis=1, dtype=jnp.float32)         # [H, k_max]
+    counts = jnp.sum(col_cnt, axis=0).astype(jnp.int32)      # [k_max]
+
+    xs_w = jnp.arange(width, dtype=jnp.int32)[:, None]
+    ys_h = jnp.arange(height, dtype=jnp.int32)[:, None]
+    x0 = jnp.min(jnp.where(col_cnt > 0, xs_w, width), axis=0)
+    x1 = jnp.max(jnp.where(col_cnt > 0, xs_w, -1), axis=0)
+    y0 = jnp.min(jnp.where(row_cnt > 0, ys_h, height), axis=0)
+    y1 = jnp.max(jnp.where(row_cnt > 0, ys_h, -1), axis=0)
     bboxes = jnp.stack([x0, y0, x1, y1], axis=-1).astype(jnp.int32)
-    valid = jnp.arange(k_max) < num_segments
+    valid = ks < num_segments
     return SegmentStats(inverse, counts, bboxes, valid,
                         num_segments.astype(jnp.int32),
                         num_segments > k_max)

@@ -70,33 +70,66 @@ def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
     labels = np.asarray(labels)
     out_dirs = []
     for img, lab, name in zip(images_u8, labels, names):
+        if name is None:  # batch padding entry
+            continue
         write_slices(img, lab.astype(np.int64), results_dir, name,
                      cfg.image_format, cfg.compression_level)
         out_dirs.append(pathlib.Path(results_dir) / name)
     return out_dirs
 
 
+def image_dims(path: pathlib.Path) -> tuple[int, int]:
+    """(H, W) from the PNG IHDR without decoding pixel data."""
+    with open(path, "rb") as f:
+        head = f.read(26)
+    if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+        width = int.from_bytes(head[16:20], "big")
+        height = int.from_bytes(head[20:24], "big")
+        return height, width
+    from PIL import Image
+    with Image.open(path) as im:  # lazy: reads the header only
+        return im.size[1], im.size[0]
+
+
 def compress_directory(cfg: Config, params=None, limit: int | None = None,
-                       classical: EdgeTarget | None = None) -> list[pathlib.Path]:
+                       classical: EdgeTarget | None = None,
+                       batch_size: int = 8) -> list[pathlib.Path]:
     """The `compress` entry point (compress.cpp:93-153): scan the dataset dir,
     segment every image, write slices + metadata into results_dir/<stem>/.
 
     With `params` uses the learned U-Net; otherwise `classical` (default
     Canny) costs — the CPU-runnable configuration.
+
+    Images are bucketed by shape and fed to the device in `batch_size`
+    batches (trailing batches padded by repetition so each distinct image
+    shape compiles exactly ONE program, regardless of how many images it
+    has): the device path stays batched like the benched pipeline instead of
+    degrading to one compile + one B=1 dispatch per image. Dims come from
+    PNG headers, so only the current batch's pixels are ever in memory.
     """
     paths = find_image_files_recursively(cfg.dataset_dir, cfg.image_format)
     if limit:
         paths = paths[:limit]
     print(f"Found {len(paths)} images")
     model = EdgeUNet()
-    out = []
+    if params is not None:
+        cost_fn = lambda b: learned_costs(model, params, b)  # noqa: E731
+    else:
+        target = classical or EdgeTarget.CANNY
+        cost_fn = lambda b: classical_costs_signed(b, target)  # noqa: E731
+
+    by_shape: dict[tuple[int, int], list[pathlib.Path]] = {}
     for path in paths:
-        img = load_image(path)
-        if params is not None:
-            cost_fn = lambda b: learned_costs(model, params, b)  # noqa: E731
-        else:
-            target = classical or EdgeTarget.CANNY
-            cost_fn = lambda b: classical_costs_signed(b, target)  # noqa: E731
-        out += compress_arrays([img], cost_fn, cfg, cfg.results_dir,
-                               [path.stem])
+        by_shape.setdefault(image_dims(path), []).append(path)
+
+    out = []
+    for shape, group in sorted(by_shape.items()):
+        for i in range(0, len(group), batch_size):
+            chunk = group[i:i + batch_size]
+            imgs = [load_image(p) for p in chunk]
+            pad = batch_size - len(chunk) if len(group) > batch_size else 0
+            out += compress_arrays(imgs + imgs[-1:] * pad, cost_fn, cfg,
+                                   cfg.results_dir,
+                                   [p.stem for p in chunk]
+                                   + [None] * pad)[:len(chunk)]
     return out

@@ -94,12 +94,72 @@ uint64_t row_cost(const uint8_t* filtered, int stride) {
     return s;
 }
 
+inline uint64_t abs_i8(uint8_t r) {
+    int8_t v = (int8_t)r;
+    return (uint64_t)std::abs((int)v);
+}
+
+// All 5 filter costs in ONE pass over the row (instead of five filter+cost
+// passes plus up-to-five memcpys): per byte, compute left/up/ul once and
+// accumulate each filter's |int8| residual cost.
+void row_costs_all(const uint8_t* cur, const uint8_t* prev, int bpp,
+                   int stride, uint64_t costs[5]) {
+    uint64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0, c4 = 0;
+    for (int i = 0; i < stride; ++i) {
+        const int x = cur[i];
+        const int left = i >= bpp ? cur[i - bpp] : 0;
+        const int up = prev ? prev[i] : 0;
+        const int ul = (prev && i >= bpp) ? prev[i - bpp] : 0;
+        c0 += abs_i8((uint8_t)x);
+        c1 += abs_i8((uint8_t)(x - left));
+        c2 += abs_i8((uint8_t)(x - up));
+        c3 += abs_i8((uint8_t)(x - ((left + up) >> 1)));
+        c4 += abs_i8((uint8_t)(x - paeth(left, up, ul)));
+    }
+    costs[0] = c0; costs[1] = c1; costs[2] = c2; costs[3] = c3; costs[4] = c4;
+}
+
+// Reusable per-thread encoder state: one deflate stream (deflateReset per
+// image instead of a fresh deflateInit + ~256KB of window allocations per
+// slice — the dominant cost for small slices) plus scratch buffers.
+struct Encoder {
+    z_stream strm{};
+    bool init = false;
+    std::vector<uint8_t> raw, comp;
+
+    ~Encoder() {
+        if (init) deflateEnd(&strm);
+    }
+    // init-or-reset the stream for one compression at `level`
+    // (deflateParams must directly follow deflateReset, per zlib docs)
+    int prepare(int level) {
+        if (!init) {
+            strm.zalloc = Z_NULL;
+            strm.zfree = Z_NULL;
+            strm.opaque = Z_NULL;
+            if (deflateInit(&strm, level) != Z_OK) return 1;
+            init = true;
+            this->level = level;
+            return 0;
+        }
+        if (deflateReset(&strm) != Z_OK) return 1;
+        if (level != this->level) {
+            if (deflateParams(&strm, level, Z_DEFAULT_STRATEGY) != Z_OK)
+                return 1;
+            this->level = level;
+        }
+        return 0;
+    }
+    int level = -1;
+};
+
 // Depth-generic PNG encode core: img_be points at rows already in PNG byte
 // order (big-endian samples for depth 16); bpp/stride are in BYTES. PNG
 // filters operate bytewise regardless of sample depth, so the adaptive
 // min-|int8| filter selection is depth-agnostic.
 int encode_core(const uint8_t* img_be, int height, int width, int channels,
-                int depth, int level, uint8_t** out, size_t* out_len) {
+                int depth, int level, uint8_t** out, size_t* out_len,
+                Encoder* enc = nullptr) {
     if (!img_be || !out || !out_len || height <= 0 || width <= 0 ||
         channels < 1 || channels > 4 || (depth != 8 && depth != 16))
         return 1;
@@ -107,33 +167,37 @@ int encode_core(const uint8_t* img_be, int height, int width, int channels,
     const int bpp = channels * (depth / 8);
     const int stride = width * bpp;
 
-    // adaptive filtering: pick min-|int8| filter per row
-    std::vector<uint8_t> raw((size_t)height * (stride + 1));
-    std::vector<uint8_t> trial(stride);
+    Encoder local;
+    if (!enc) enc = &local;
+    std::vector<uint8_t>& raw = enc->raw;
+    raw.resize((size_t)height * (stride + 1));
+
+    // adaptive filtering: pick min-|int8| filter per row (single cost pass
+    // over the row, then one filter application for the winner)
     for (int y = 0; y < height; ++y) {
         const uint8_t* cur = img_be + (size_t)y * stride;
         const uint8_t* prev =
             y > 0 ? img_be + (size_t)(y - 1) * stride : nullptr;
+        uint64_t costs[5];
+        row_costs_all(cur, prev, bpp, stride, costs);
         uint8_t best_f = 0;
-        uint64_t best_cost = UINT64_MAX;
-        uint8_t* dst = raw.data() + (size_t)y * (stride + 1) + 1;
-        for (uint8_t f = 0; f < 5; ++f) {
-            filter_row(f, cur, prev, bpp, stride, trial.data());
-            uint64_t c = row_cost(trial.data(), stride);
-            if (c < best_cost) {
-                best_cost = c;
-                best_f = f;
-                std::memcpy(dst, trial.data(), stride);
-            }
-        }
-        raw[(size_t)y * (stride + 1)] = best_f;
+        for (uint8_t f = 1; f < 5; ++f)
+            if (costs[f] < costs[best_f]) best_f = f;
+        uint8_t* dst = raw.data() + (size_t)y * (stride + 1);
+        dst[0] = best_f;
+        filter_row(best_f, cur, prev, bpp, stride, dst + 1);
     }
 
-    uLongf comp_bound = compressBound((uLong)raw.size());
-    std::vector<uint8_t> comp(comp_bound);
-    if (compress2(comp.data(), &comp_bound, raw.data(), (uLong)raw.size(),
-                  level) != Z_OK)
-        return 2;
+    if (enc->prepare(level)) return 2;
+    uLong comp_bound = deflateBound(&enc->strm, (uLong)raw.size());
+    std::vector<uint8_t>& comp = enc->comp;
+    comp.resize(comp_bound);
+    enc->strm.next_in = raw.data();
+    enc->strm.avail_in = (uInt)raw.size();
+    enc->strm.next_out = comp.data();
+    enc->strm.avail_out = (uInt)comp_bound;
+    if (deflate(&enc->strm, Z_FINISH) != Z_STREAM_END) return 2;
+    comp_bound = enc->strm.total_out;
 
     std::vector<uint8_t> png;
     png.reserve(comp_bound + 128);
@@ -323,6 +387,7 @@ int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
 
     auto worker = [&]() {
         std::vector<uint8_t> crop;
+        Encoder enc;  // per-thread: reused deflate stream + scratch buffers
         while (true) {
             size_t i = next.fetch_add(1);
             if (i >= present.size()) return;
@@ -343,7 +408,8 @@ int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
             }
             uint8_t* png = nullptr;
             size_t png_len = 0;
-            if (pngio_encode(crop.data(), bh, bw, 4, level, &png, &png_len)) {
+            if (encode_core(crop.data(), bh, bw, 4, 8, level, &png, &png_len,
+                            &enc)) {
                 ok = false;
                 return;
             }
