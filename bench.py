@@ -59,13 +59,22 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0), images[:1])
 
+    # Two XLA programs chained on device, not one: with the U-Net's convs
+    # and the estimator in a single program, XLA's layout assignment ran the
+    # estimator section ~8x slower than the same code compiled alone
+    # (same effect, much larger, for multicut inside the RL megaprogram —
+    # see train/steps.py::make_rl_step).
     @jax.jit
-    def compress_step(params, images):
+    def segment_program(params, images):
         out = model.apply(params, images)
         mu_raw, _ = split_model_output(out)
         mu = squash_mu(mu_raw) * edge_validity_masks(size, size)
         labels = jax.vmap(multicut_grid)(mu)
+        # labels are smallest-pixel-index < 2^16 at 256x256: ship as uint16
+        return labels.astype(jnp.uint16)
 
+    @jax.jit
+    def estimate_program(images, labels_u16):
         def stats_and_size(img, lab):
             stats = segment_stats_minlabel(lab, 64)
             rgba = jnp.concatenate(
@@ -75,9 +84,12 @@ def main():
                 rgba, stats.inverse, stats.counts, stats.bboxes, stats.valid)
             return stats.counts, sizes
 
-        counts, sizes = jax.vmap(stats_and_size)(images, labels)
-        # labels are smallest-pixel-index < 2^16 at 256x256: ship as uint16
-        return labels.astype(jnp.uint16), counts, sizes
+        return jax.vmap(stats_and_size)(images, labels_u16.astype(jnp.int32))
+
+    def compress_step(params, images):
+        labels_u16 = segment_program(params, images)
+        counts, sizes = estimate_program(images, labels_u16)
+        return labels_u16, counts, sizes
 
     def fetch(step_out):
         labels_u16, _counts, sizes = step_out
@@ -94,19 +106,25 @@ def main():
 
     # warmup/compile + full sync via scalar fetch (block_until_ready does not
     # reliably drain the queue on every backend; a host fetch depending on
-    # the outputs does)
+    # the outputs does). The relay runs the FIRST ~5 executions of a program
+    # 10-50x slower than steady state (CLAUDE.md), so warm with a full
+    # throwaway round before timing.
     labels_np, _ = fetch(compress_step(params, images))
     host_slice(labels_np, staging, "warm")
 
-    # device-only rate (same honest queue-draining timing as round 1)
     n_iters = 5
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for i in range(n_iters):
-        _lab, counts, sizes = compress_step(params, images + 0.0001 * i)
-        acc = acc + jnp.sum(counts).astype(jnp.float32) + jnp.sum(sizes)
-    float(acc)
-    dt_device = (time.perf_counter() - t0) / n_iters
+
+    def device_round():
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for i in range(n_iters):
+            _lab, counts, sizes = compress_step(params, images + 0.0001 * i)
+            acc = acc + jnp.sum(counts).astype(jnp.float32) + jnp.sum(sizes)
+        float(acc)
+        return (time.perf_counter() - t0) / n_iters
+
+    device_round()                      # steady-state warm-up round
+    dt_device = device_round()
     device_rate = batch / dt_device
 
     # host slice cost (per image, RAM-backed staging)
@@ -116,15 +134,19 @@ def main():
 
     # full pipeline, overlapped: dispatch batch i+1, then slice batch i
     # while the device works
-    t0 = time.perf_counter()
-    pending = compress_step(params, images)
-    for i in range(n_iters):
-        nxt = compress_step(params, images + 0.0001 * i)
-        labels_np, _ = fetch(pending)  # waits for batch i only
-        host_slice(labels_np, staging, f"it{i}")
-        pending = nxt
-    fetch(pending)
-    dt_full = (time.perf_counter() - t0) / (n_iters + 1)
+    def full_round():
+        t0 = time.perf_counter()
+        pending = compress_step(params, images)
+        for i in range(n_iters):
+            nxt = compress_step(params, images + 0.0001 * i)
+            labels_np, _ = fetch(pending)  # waits for batch i only
+            host_slice(labels_np, staging, f"it{i}")
+            pending = nxt
+        fetch(pending)
+        return (time.perf_counter() - t0) / (n_iters + 1)
+
+    full_round()                        # steady-state warm-up round
+    dt_full = full_round()
     full_rate = batch / dt_full
 
     shutil.rmtree(staging, ignore_errors=True)

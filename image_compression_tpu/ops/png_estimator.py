@@ -58,38 +58,48 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
                       beta: float, b_match_token: float, gamma: float,
                       overhead_base: float, adaptive_filter: bool):
     """Estimated PNG size of segment k. img_u8 [H, W, C] int32 (0..255),
-    inverse [H, W] compact labels."""
+    inverse [H, W] compact labels.
+
+    Layout note: all per-element work runs on CHANNEL-INTERLEAVED 2D arrays
+    [H, W*C] — the minor axis is the PNG byte stream itself. A [H, W, C]
+    layout puts C (= 4) in the minor dimension and uses 4 of the 128 vector
+    lanes, which made every elementwise pass here ~30x slower on TPU; in
+    the interleaved view the minor axis is 128-1024 wide, the stream
+    predecessor is a shift-by-1, and the flat reshape for the run scans is
+    contiguous."""
     height, width, channels = img_u8.shape
     x0, y0, x1, y1 = bbox[0], bbox[1], bbox[2], bbox[3]
     w = x1 - x0 + 1
     h = y1 - y0 + 1
+    n_cols = width * channels
 
-    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-    in_bbox = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+    img2 = img_u8.reshape(height, n_cols)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, n_cols), 0)
+    cs = jax.lax.broadcasted_iota(jnp.int32, (height, n_cols), 1)
+    xs2 = cs // channels          # pixel x of each interleaved column
+    ch2 = cs % channels           # channel of each interleaved column
+    in_bbox2 = (xs2 >= x0) & (xs2 <= x1) & (ys >= y0) & (ys <= y1)
 
-    in_seg = inverse == k
-    cur = jnp.where(in_seg[..., None], img_u8, 0)
+    in_seg2 = jnp.repeat(inverse == k, channels, axis=1)     # [H, W*C]
+    cur = jnp.where(in_seg2, img2, 0)
 
-    def shifted(arr, dy, dx, fill=0):
-        pad = ((max(0, dy), max(0, -dy)), (max(0, dx), max(0, -dx)))
-        if arr.ndim == 3:
-            pad = pad + ((0, 0),)
+    def shifted(arr, dy, dcol, fill=0):
+        pad = ((max(0, dy), max(0, -dy)), (max(0, dcol), max(0, -dcol)))
         out = jnp.pad(arr, pad, constant_values=fill)
-        sl_y = slice(max(0, -dy), max(0, -dy) + height)
-        sl_x = slice(max(0, -dx), max(0, -dx) + width)
-        return out[sl_y, sl_x]
+        return out[max(0, -dy):max(0, -dy) + height,
+                   max(0, -dcol):max(0, -dcol) + n_cols]
 
     # masked neighbors with bbox-relative existence (x > x0 etc.,
-    # compute_filter_costs_per_row_masked_kernel:98-117)
-    has_left = xs > x0
+    # compute_filter_costs_per_row_masked_kernel:98-117); the left pixel
+    # neighbor of column j is column j - C
+    has_left = xs2 > x0
     has_up = ys > y0
-    left = jnp.where((has_left & shifted(in_seg, 0, 1))[..., None],
-                     shifted(img_u8, 0, 1), 0)
-    up = jnp.where((has_up & shifted(in_seg, 1, 0))[..., None],
-                   shifted(img_u8, 1, 0), 0)
-    upleft = jnp.where((has_left & has_up & shifted(in_seg, 1, 1))[..., None],
-                       shifted(img_u8, 1, 1), 0)
+    left = jnp.where(has_left & shifted(in_seg2, 0, channels),
+                     shifted(img2, 0, channels), 0)
+    up = jnp.where(has_up & shifted(in_seg2, 1, 0),
+                   shifted(img2, 1, 0), 0)
+    upleft = jnp.where(has_left & has_up & shifted(in_seg2, 1, channels),
+                       shifted(img2, 1, channels), 0)
 
     def residual(pred):
         return jnp.mod(cur - pred, 256)
@@ -98,29 +108,34 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
              _paeth(left, up, upleft)]
 
     # per-row filter costs reduced immediately (never stack the residual
-    # planes: a [5, H, W, C] temp per segment slot OOMs under vmap)
+    # planes: a [5, H, W*C] temp per segment slot OOMs under vmap)
     if adaptive_filter:
         costs = jnp.stack([
-            jnp.sum(_as_int8_abs(residual(p)) * in_bbox[..., None],
-                    axis=(1, 2)) for p in preds])  # [5, H]
+            jnp.sum(_as_int8_abs(residual(p)) * in_bbox2,
+                    axis=1) for p in preds])  # [5, H]
         filter_id = jnp.argmin(costs, axis=0)  # [H]; argmin takes lowest index
     else:
         filter_id = jnp.full((height,), 4, jnp.int32)
 
     # selected residual via elementwise select (fuses; no gather)
-    fid = filter_id[:, None, None]
+    fid = filter_id[:, None]
     res = residual(preds[0])
     for f in (1, 2, 3, 4):
-        res = jnp.where(fid == f, residual(preds[f]), res)  # [H, W, C]
+        res = jnp.where(fid == f, residual(preds[f]), res)  # [H, W*C]
 
     # --- entropy from per-channel histograms over the bbox ----------------
-    chan = jax.lax.broadcasted_iota(jnp.int32, res.shape, 2)
-    hist_key = chan * 256 + res
-    hist = jax.ops.segment_sum(
-        jnp.broadcast_to(in_bbox[..., None], res.shape).reshape(-1)
-        .astype(jnp.float32),
-        hist_key.reshape(-1), num_segments=channels * 256)
-    hist = hist.reshape(channels, 256)
+    # one-hot einsum instead of a segment_sum: the scatter-add lowers to a
+    # serialized per-element update on TPU; the [P, C*256] bf16 one-hot is
+    # streamed through the MXU tile by tile instead (counts <= P < 2^24,
+    # exact with f32 accumulation)
+    key = ch2 * 256 + res
+    oh_bins = (key.reshape(-1)[:, None] ==
+               jnp.arange(channels * 256, dtype=jnp.int32)
+               ).astype(jnp.bfloat16)
+    hist = jnp.einsum("pb,p->b", oh_bins,
+                      in_bbox2.reshape(-1).astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32
+                      ).reshape(channels, 256)
     n_per_channel = (w * h).astype(jnp.float32)
     p = hist / jnp.maximum(n_per_channel, 1.0)
     h_c = -jnp.sum(jnp.where(hist > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0),
@@ -128,53 +143,56 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
     h_bar = jnp.mean(h_c)
 
     # --- run-length match proxy in bbox row-major, channel-innermost order -
-    prev_in_row = jnp.where(xs[..., None] > x0, shifted(res, 0, 1),
-                            -1)[..., channels - 1]   # value of (y, x-1, C-1)
-    prev_chan = jnp.concatenate([
-        jnp.full((height, width, 1), -1, res.dtype), res[..., :-1]], axis=-1)
-    # (y-1, x1, C-1): last stream element of the previous bbox row
-    row_last = jnp.take_along_axis(
-        res[..., channels - 1], jnp.broadcast_to(x1, (height, 1)), axis=1)[:, 0]
+    # the interleaved minor axis IS the stream, so the in-row predecessor is
+    # shift-by-1; the row-start column (x0*C) instead continues from the
+    # previous bbox row's last stream element (y-1, x1, C-1)
+    col_start = x0 * channels
+    col_end = x1 * channels + channels - 1
+    row_last = jnp.sum(jnp.where(cs == col_end, res, 0), axis=1)
     prev_row_last = jnp.concatenate([jnp.full((1,), -1, res.dtype),
                                      row_last[:-1]])
-    prev = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, res.shape, 2) > 0, prev_chan,
-        jnp.where((xs > x0)[..., None], prev_in_row[..., None],
-                  jnp.where((ys > y0)[..., None],
-                            prev_row_last[:, None, None], -1)))
-    in_stream = in_bbox[..., None] & jnp.ones_like(res, bool)
+    prev = jnp.where(cs > col_start, shifted(res, 0, 1, fill=-1),
+                     jnp.where(ys > y0, prev_row_last[:, None], -1))
+    in_stream = in_bbox2
     same = in_stream & (res == prev) & (prev >= 0)
     is_start = in_stream & ~same
-    flat_start = is_start.reshape(-1)
-    flat_stream = in_stream.reshape(-1)
 
-    # run statistics with segmented scans only (a segment_sum keyed by run id
-    # needs res.size segments and its scatter serializes on TPU):
-    #   pos-in-run: forward cumsum of in-stream resetting at run starts
-    #   (out-of-stream gaps carry the count harmlessly: the next run resets);
-    #   a row is its run's END iff it is in-stream and the next in-stream row
-    #   starts a new run (or no in-stream row follows) -> found by a reverse
-    #   hold-scan carrying the most recent in-stream row's is_start.
-    def seg_combine(op):
-        def combine(x, y):
-            (vx, _rx), (vy, ry) = x, y
-            return jnp.where(ry, vy, op(vx, vy)), x[1] | ry
-        return combine
+    # Window formulation of the run statistics (scan-free): a stream
+    # position is in a run of length >= l_min iff some window of l_min
+    # consecutive equal stream elements contains it, so
+    #   sum over long runs of run length  = #(positions in long runs)
+    #   #(long runs)                      = #(run starts in long runs).
+    # A window starting at element e needs `same` at e+1..e+l_min-1;
+    # composing single-step stream shifts realizes those flags and the
+    # membership OR exactly, including row wrap-around (each step wraps one
+    # boundary, so compositions cross as many rows as the data does). All
+    # elementwise + per-row reductions: no scans, no flat reshape.
+    def stream_next(b):
+        head = jnp.any(b & (cs == col_start), axis=1)              # [H]
+        next_head = jnp.concatenate([head[1:], jnp.zeros((1,), bool)])
+        return jnp.where(cs < col_end, shifted(b, 0, -1),
+                         jnp.where(cs == col_end, next_head[:, None], False))
 
-    pos_in_run, _ = jax.lax.associative_scan(
-        seg_combine(jnp.add),
-        (flat_stream.astype(jnp.int32), flat_start))
-    next_is_start, _ = jax.lax.associative_scan(
-        seg_combine(lambda vx, _vy: vx),
-        (jnp.where(flat_stream, flat_start, True), flat_stream),
-        reverse=True)
-    shifted_next = jnp.concatenate([next_is_start[1:],
-                                    jnp.ones((1,), bool)])
-    is_end = flat_stream & shifted_next
-    run_len_at_end = jnp.where(is_end, pos_in_run, 0)
-    long_run = run_len_at_end >= l_min
-    match_symbols = jnp.sum(jnp.where(long_run, run_len_at_end, 0))
-    match_count = jnp.sum(long_run)
+    def stream_prev(b):
+        tail = jnp.any(b & (cs == col_end), axis=1)
+        prev_tail = jnp.concatenate([jnp.zeros((1,), bool), tail[:-1]])
+        return jnp.where(cs > col_start, shifted(b, 0, 1),
+                         jnp.where(cs == col_start, prev_tail[:, None],
+                                   False))
+
+    s_t = stream_next(same)          # same at stream offset +1
+    w_ok = s_t
+    for _ in range(l_min - 2):
+        s_t = stream_next(s_t)
+        w_ok = w_ok & s_t            # window starting here is all-equal
+    longrun = w_ok
+    back = w_ok
+    for _ in range(l_min - 1):
+        back = stream_prev(back)
+        longrun = longrun | back     # OR over the l_min windows covering p
+
+    match_symbols = jnp.sum((in_stream & longrun).astype(jnp.int32))
+    match_count = jnp.sum((is_start & longrun).astype(jnp.int32))
     match_len_sum = match_symbols  # reference accumulates run_len into both
 
     # --- finalize (finalize_size_kernel / compute_size_device :10-43) ------

@@ -29,6 +29,14 @@ def sample_gaussian_policy(key: jax.Array, mu: jnp.ndarray,
     entropy (gaussian_policy.hpp:11-33)."""
     noise = jax.random.normal(key, mu.shape, mu.dtype)
     w = mu + sigma * noise
+    return gaussian_logp(w, mu, sigma)
+
+
+def gaussian_logp(w: jnp.ndarray, mu: jnp.ndarray,
+                  sigma: jnp.ndarray) -> PolicySample:
+    """Summed log-prob and entropy of fixed costs w under N(mu, sigma).
+    Lets the REINFORCE step evaluate (and differentiate) the policy density
+    of an already-drawn sample without re-entering the sampling path."""
     z = (w - mu) / sigma
     logp_elem = -0.5 * z * z - jnp.log(sigma) - 0.5 * LOG_2PI
     ent_elem = 0.5 * (1.0 + LOG_2PI) + jnp.log(sigma)

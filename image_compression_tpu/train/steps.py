@@ -2,9 +2,13 @@
 
 Everything the reference does per batch — forward, loss, backward, optimizer
 (pretraining.cpp:282-296); forward, squash, sample, multicut, reward,
-baseline, REINFORCE update (training.cpp:140-192) — compiles into ONE XLA
-program per phase, including the multicut solve and the PNG-size reward (the
-reference leaves those outside autograd on separate streams with host syncs).
+baseline, REINFORCE update (training.cpp:140-192) — runs on device with no
+host round-trips. The pretrain step is one XLA program; the RL step is
+deliberately three (forward+sample / multicut+reward / grad+update) chained
+on device: XLA's layout assignment slows the solver 30-150x when it shares
+a program with the U-Net's convolutions (see make_rl_step), so the split is
+a performance boundary, not a host sync (the reference runs solver+reward
+on a separate stream with per-segment host syncs, compute_rewards.cu:152).
 
 Data-parallel by construction: feed a batch sharded over the mesh's "data"
 axis with replicated params (parallel/mesh.py) and XLA inserts the gradient
@@ -31,6 +35,7 @@ from image_compression_tpu.ops.rewards import compute_rewards_batched
 from image_compression_tpu.train.losses import pretrain_loss
 from image_compression_tpu.train.metrics import edge_metrics
 from image_compression_tpu.train.policy import (ema_baseline_update,
+                                                gaussian_logp,
                                                 reinforce_loss,
                                                 sample_gaussian_policy,
                                                 whitened_advantage)
@@ -128,45 +133,68 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
                                icm_sweeps=mc.icm_sweeps)
         return jax.vmap(fn)(planes)
 
-    @jax.jit
-    def step(state: RLState, key: jax.Array, images: jnp.ndarray,
-             image_sizes: jnp.ndarray):
-        height, width = images.shape[1], images.shape[2]
+    # The step is deliberately THREE XLA programs, not one. All data stays
+    # on device between them; the boundaries exist because XLA's layout
+    # assignment poisons mixed programs: with the U-Net's convolutions and
+    # the multicut solver in one program, the solver section ran 30-150x
+    # slower than the identical solver compiled alone (measured on v5e:
+    # 0.37s standalone vs 52s fused for the sorted path, 0.31s vs 3.7s for
+    # the hierarchical path). Splitting also matches training.cpp:164-175,
+    # which runs solver+reward in a NoGrad block on its own stream.
 
+    @jax.jit
+    def forward_program(params, images):
+        return _policy_forward(model, params, images, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("height", "width"))
+    def solve_reward_program(key, mu, sigma, images, image_sizes, height,
+                             width):
+        # sampling lives here, NOT in forward_program: threefry fused into
+        # the conv program also caught the layout poison
+        w = sample_gaussian_policy(key, mu, sigma).w
+        labels = segment(w, height, width)
+        # minlabel: multicut labels are smallest-pixel-index connected
+        # regions, enabling the sort-free segment-stats path
+        rewards = compute_rewards_batched(
+            images, labels, image_sizes, k_max=rw.max_segments,
+            min_pixels=rw.min_pixels_per_segment, l_min=rw.l_min,
+            beta=rw.beta, b_match_token=rw.b_match_token, gamma=rw.gamma,
+            overhead_base=rw.overhead_base,
+            adaptive_filter=rw.adaptive_filter,
+            lam=rw.lambda_single_segment,
+            minlabel=mc.icm_sweeps > 0)
+        return w, rewards
+
+    @jax.jit
+    def update_program(state: RLState, w, images, rewards):
+        baseline, binit = ema_baseline_update(
+            state.baseline, state.baseline_init, rewards,
+            r.baseline_momentum)
+        adv = whitened_advantage(rewards, baseline)
+
+        # The gradient is identical to differentiating through the sampled
+        # forward: loss depends on params only through logp/entropy of the
+        # FIXED sample w (training.cpp:183-186).
         def loss_fn(params):
             mu, sigma = _policy_forward(model, params, images, cfg)
-            sample = sample_gaussian_policy(key, mu, sigma)
+            pol = gaussian_logp(w, mu, sigma)
+            return reinforce_loss(adv, pol, mu.shape[-1], r.entropy_coef)
 
-            # multicut + reward outside autograd (training.cpp:164-175)
-            w = jax.lax.stop_gradient(sample.w)
-            labels = segment(w, height, width)
-            # minlabel: multicut labels are smallest-pixel-index connected
-            # regions, enabling the sort-free segment-stats path
-            rewards = compute_rewards_batched(
-                images, labels, image_sizes, k_max=rw.max_segments,
-                min_pixels=rw.min_pixels_per_segment, l_min=rw.l_min,
-                beta=rw.beta, b_match_token=rw.b_match_token, gamma=rw.gamma,
-                overhead_base=rw.overhead_base,
-                adaptive_filter=rw.adaptive_filter,
-                lam=rw.lambda_single_segment,
-                minlabel=mc.icm_sweeps > 0)
-            rewards = jax.lax.stop_gradient(rewards)
-
-            baseline, binit = ema_baseline_update(
-                state.baseline, state.baseline_init, rewards,
-                r.baseline_momentum)
-            adv = whitened_advantage(rewards, baseline)
-            loss = reinforce_loss(adv, sample, mu.shape[-1], r.entropy_coef)
-            return loss, (rewards, baseline, binit)
-
-        (loss, (rewards, baseline, binit)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = RLState(params, opt_state, state.step + 1, baseline, binit)
         aux = {"loss": loss, "reward_mean": rewards.mean(),
                "baseline": baseline}
         return new_state, aux
+
+    def step(state: RLState, key: jax.Array, images: jnp.ndarray,
+             image_sizes: jnp.ndarray):
+        height, width = images.shape[1], images.shape[2]
+        mu, sigma = forward_program(state.params, images)
+        w, rewards = solve_reward_program(key, mu, sigma, images, image_sizes,
+                                          height, width)
+        return update_program(state, w, images, rewards)
 
     return step
 
@@ -177,15 +205,18 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
     rw = cfg.reward
 
     @jax.jit
-    def evaluate(params, images, image_sizes):
-        height, width = images.shape[1], images.shape[2]
+    def forward_program(params, images):
         mu, _ = _policy_forward(model, params, images, cfg)
+        return mu
+
+    @functools.partial(jax.jit, static_argnames=("height", "width"))
+    def solve_reward_program(mu, images, image_sizes, height, width):
         planes = unflatten_edge_planes(mu, height, width)
         fn = functools.partial(multicut_grid, mode=mc.mode,
                                max_rounds=mc.max_rounds,
                                icm_sweeps=mc.icm_sweeps)
         labels = jax.vmap(fn)(planes)
-        rewards = compute_rewards_batched(
+        return compute_rewards_batched(
             images, labels, image_sizes, k_max=rw.max_segments,
             min_pixels=rw.min_pixels_per_segment, l_min=rw.l_min,
             beta=rw.beta, b_match_token=rw.b_match_token, gamma=rw.gamma,
@@ -193,7 +224,12 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
             adaptive_filter=rw.adaptive_filter,
             lam=rw.lambda_single_segment,
             minlabel=mc.icm_sweeps > 0)
-        return rewards
+
+    def evaluate(params, images, image_sizes):
+        # two programs, same layout-poisoning rationale as make_rl_step
+        height, width = images.shape[1], images.shape[2]
+        mu = forward_program(params, images)
+        return solve_reward_program(mu, images, image_sizes, height, width)
 
     return evaluate
 
