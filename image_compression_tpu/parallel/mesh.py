@@ -52,15 +52,22 @@ def initialize_distributed(coordinator_address: str | None = None,
 
     Call once per host before building the mesh; jax.distributed wires the
     processes and jax.devices() then spans all hosts, so make_mesh()'s data
-    axis covers the full fleet. No-ops on single-host setups with no
-    coordinator configured."""
+    axis covers the full fleet. With no arguments and no cluster environment
+    detected this is a no-op (single host); every other failure propagates —
+    a misconfigured multi-host run must fail loudly, not silently degrade to
+    single-host training. Exercised for real by
+    tests/test_distributed.py (two local processes over the coordinator).
+    """
     import jax
 
     if coordinator_address is None and num_processes is None:
-        try:
-            jax.distributed.initialize()  # env-driven (TPU pods)
-        except Exception:  # noqa: BLE001 — single-host: nothing to wire
-            return
+        from jax._src.clusters import ClusterEnv
+
+        detected = ClusterEnv.auto_detect_unset_distributed_params(
+            None, None, None, None, None, None)
+        if detected[0] is None:
+            return  # no cluster environment: single host, nothing to wire
+        jax.distributed.initialize()  # env-driven (TPU pods)
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

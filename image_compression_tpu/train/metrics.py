@@ -70,3 +70,28 @@ def edge_metrics(outputs: jnp.ndarray, targets: jnp.ndarray,
     # cut as the positive class swaps TP<->TN and FP<->FN
     return EdgeMetrics(tp_conn, fp_conn, fn_conn, tn_conn,
                        tn_conn, fn_conn, fp_conn, tp_conn)
+
+
+class MetricsLogger:
+    """Structured JSONL metrics sink (SURVEY.md section 5: the reference logs
+    to stdout only, pretraining.cpp:364-374; this provides the
+    machine-readable training log alongside it). One JSON object per line in
+    results_dir/metrics_<run_id>.jsonl, flushed per record so concurrent
+    readers and crashed runs see everything written so far."""
+
+    def __init__(self, results_dir, run_id: str):
+        import pathlib
+        d = pathlib.Path(results_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        self.path = d / f"metrics_{run_id}.jsonl"
+        self._fh = open(self.path, "a")
+
+    def write(self, record: dict) -> None:
+        import json
+        import time as _time
+        record = {"time": round(_time.time(), 3), **record}
+        self._fh.write(json.dumps(record) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()

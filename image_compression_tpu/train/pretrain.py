@@ -23,11 +23,45 @@ from image_compression_tpu.parallel.mesh import (make_mesh, replicate,
                                                  shard_batch)
 from image_compression_tpu.train.checkpoint import CheckpointManager
 from image_compression_tpu.train.data import ImageBatches
-from image_compression_tpu.train.metrics import EdgeMetrics
+from image_compression_tpu.train.metrics import EdgeMetrics, MetricsLogger
 from image_compression_tpu.train.steps import (init_train_state,
                                                make_pretrain_eval,
                                                make_pretrain_optimizer,
                                                make_pretrain_step)
+
+
+class TargetDiskCache:
+    """Disk layer of the pretraining target cache: one packed-bits file per
+    (image path, extractor, resolution) under cache_dir/targets, so target
+    generation survives driver restarts (the RAM dict alone loses ~hours of
+    extractor work on a 100k-image corpus). Files are written atomically
+    (tmp + rename) so a killed run never leaves truncated entries."""
+
+    def __init__(self, cache_dir, extractor: str, image_size: int):
+        import hashlib
+        import pathlib
+        self.dir = pathlib.Path(cache_dir) / "targets"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._tag = f"{extractor}|{image_size}"
+        self._hashlib = hashlib
+
+    def _path(self, image_path):
+        key = self._hashlib.sha1(
+            f"{image_path}|{self._tag}".encode()).hexdigest()
+        return self.dir / f"{key}.bits"
+
+    def load(self, image_path) -> np.ndarray | None:
+        p = self._path(image_path)
+        try:
+            return np.fromfile(p, dtype=np.uint8)
+        except FileNotFoundError:
+            return None
+
+    def store(self, image_path, bits: np.ndarray) -> None:
+        p = self._path(image_path)
+        tmp = p.with_suffix(".tmp")
+        bits.tofile(tmp)
+        tmp.replace(p)
 
 
 def run_pretraining(cfg: Config, use_mesh: bool = True,
@@ -65,7 +99,9 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
     # targets are deterministic per image: compute once, reuse across epochs
     # (the reference recomputes them in dataloader workers every epoch,
     # EdgeDataset.h:101-124 — its input-bound hot loop). Cost planes are
-    # {0,1}, so each image caches as packed bits (~H*W/4 bytes); masks are
+    # {0,1}, so each image caches as packed bits (~H*W/4 bytes) in RAM AND
+    # on disk under cfg.cache_dir keyed by image path + extractor config, so
+    # a 100k-image run survives restarts without re-segmenting; masks are
     # static and rebuilt on load.
     from image_compression_tpu.ops.edges import edge_validity_masks
 
@@ -85,21 +121,27 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         return flat.reshape(cfg.image_size, cfg.image_size, 2) \
             .astype(np.float32)
 
+    disk = TargetDiskCache(cfg.cache_dir, cfg.edge_target.value,
+                           cfg.image_size)
     train_target_bits: dict = {}
+
+    def lookup(idx) -> np.ndarray | None:
+        bits = train_target_bits.get(int(idx))
+        if bits is None:
+            bits = disk.load(train_paths[int(idx)])
+            if bits is not None:
+                train_target_bits[int(idx)] = bits
+        return bits
 
     def train_targets(indices, images):
         missing = [j for j, idx in enumerate(indices)
-                   if int(idx) not in train_target_bits]
-        if len(missing) == len(indices):
-            targets = jax.device_get(targets_fn(images))
-            for j, idx in enumerate(indices):
-                train_target_bits[int(idx)] = pack(targets[j, :, :, :2])
-            return jnp.asarray(targets)
-        if missing:  # partial batch miss: compute the whole batch, cache new
+                   if lookup(idx) is None]
+        if missing:  # any miss: compute the whole batch, cache new entries
             targets = jax.device_get(targets_fn(images))
             for j in missing:
-                train_target_bits[int(indices[j])] = pack(
-                    targets[j, :, :, :2])
+                bits = pack(targets[j, :, :, :2])
+                train_target_bits[int(indices[j])] = bits
+                disk.store(train_paths[int(indices[j])], bits)
             return jnp.asarray(targets)
         costs = np.stack([unpack(train_target_bits[int(idx)])
                           for idx in indices])
@@ -133,9 +175,10 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         acc = correct / max(valid, 1)
         return val_loss, acc, (agg.summary() if agg is not None else {})
 
+    metrics_log = MetricsLogger(cfg.results_dir, ckpt.run_id)
+
     for epoch in range(1, p.epochs + 1):
-        epoch_loss = 0.0
-        batches = 0
+        epoch_losses: list = []   # device scalars; fetched once per epoch
         t0 = time.time()
         for batch_count, (images, indices) in enumerate(
                 train_data.epoch(epoch), 1):
@@ -144,8 +187,10 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
             if mesh is not None:
                 images, targets = shard_batch(mesh, (images, targets))
             state, aux, train_m = step_fn(state, images, targets)
-            epoch_loss += float(aux["loss"])
-            batches += 1
+            # NO per-step host fetch: a float() here costs a ~30 ms device
+            # round-trip per batch on the relay (CLAUDE.md), several times
+            # the step itself
+            epoch_losses.append(aux["loss"])
 
             if batch_count % p.val_every == 0 or batch_count == 1:
                 val_loss, val_acc, val_sum = run_validation()
@@ -153,8 +198,18 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
                              / max(int(aux["sign_valid"]), 1))
                 tm = train_m.summary() if isinstance(train_m, EdgeMetrics) \
                     else {}
+                record = {
+                    "phase": "pretrain", "epoch": epoch,
+                    "batch": batch_count,
+                    "train_loss": float(aux["loss"]),
+                    "train_sign_acc": train_acc,
+                    "val_loss": val_loss, "val_sign_acc": val_acc,
+                    **{f"train_{k}": v for k, v in tm.items()},
+                    **{f"val_{k}": v for k, v in val_sum.items()},
+                }
+                metrics_log.write(record)
                 log(f"Epoch [{epoch}/{p.epochs}] Batch [{batch_count}] "
-                    f"train: loss={float(aux['loss']):.4f} "
+                    f"train: loss={record['train_loss']:.4f} "
                     f"sign_acc={train_acc:.4f} "
                     f"cut P/R/F1={tm.get('precision_cut', 0):.3f}/"
                     f"{tm.get('recall_cut', 0):.3f}/{tm.get('f1_cut', 0):.3f} "
@@ -166,8 +221,12 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
                     best_val_loss = val_loss
                     ckpt.save("best", state)
 
-        log(f"Epoch [{epoch}/{p.epochs}] avg loss "
-            f"{epoch_loss / max(batches, 1):.4f} "
+        avg_loss = float(jnp.mean(jnp.stack(epoch_losses))) \
+            if epoch_losses else 0.0
+        metrics_log.write({"phase": "pretrain_epoch", "epoch": epoch,
+                           "avg_loss": avg_loss,
+                           "seconds": time.time() - t0})
+        log(f"Epoch [{epoch}/{p.epochs}] avg loss {avg_loss:.4f} "
             f"({time.time() - t0:.1f}s)")
         ckpt.save(f"epoch_{epoch}", state)
 

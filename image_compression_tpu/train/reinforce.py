@@ -18,6 +18,7 @@ from image_compression_tpu.parallel.mesh import (make_mesh, replicate,
                                                  shard_batch)
 from image_compression_tpu.train.checkpoint import CheckpointManager
 from image_compression_tpu.train.data import ImageBatches
+from image_compression_tpu.train.metrics import MetricsLogger
 from image_compression_tpu.train.steps import (init_rl_state,
                                                make_rl_eval,
                                                make_rl_optimizer,
@@ -53,6 +54,9 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
     step_fn = make_rl_step(model, tx, cfg)
     eval_fn = make_rl_eval(model, cfg)
     ckpt = CheckpointManager(cfg.results_dir, "fcn_training")
+    metrics_log = MetricsLogger(cfg.results_dir, ckpt.run_id)
+    # constant base key: the step folds in its device step counter itself
+    # (a host-side split per step costs a ~30 ms relay dispatch)
     key = jax.random.PRNGKey(0)
 
     def run_eval():
@@ -75,15 +79,21 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
             sizes = jnp.asarray(sizes)
             if mesh is not None:
                 images, sizes = shard_batch(mesh, (images, sizes))
-            key, sub = jax.random.split(key)
-            state, aux = step_fn(state, sub, images, sizes)
+            state, aux = step_fn(state, key, images, sizes)
 
             if batch_count % r.eval_every == 0:
+                eval_r = run_eval()
+                record = {"phase": "rl", "epoch": epoch, "step": batch_count,
+                          "loss": float(aux["loss"]),
+                          "reward_mean": float(aux["reward_mean"]),
+                          "baseline": float(aux["baseline"]),
+                          "eval_reward_mean": eval_r}
+                metrics_log.write(record)
                 log(f"epoch={epoch} step={batch_count} "
-                    f"loss={float(aux['loss']):.6f} "
-                    f"Rmean={float(aux['reward_mean']):.4f} "
-                    f"baseline={float(aux['baseline']):.4f}")
-                log(f"Eval reward mean={run_eval():.4f}")
+                    f"loss={record['loss']:.6f} "
+                    f"Rmean={record['reward_mean']:.4f} "
+                    f"baseline={record['baseline']:.4f}")
+                log(f"Eval reward mean={eval_r:.4f}")
                 ckpt.save("latest", state)
 
     ckpt.save("final", state)

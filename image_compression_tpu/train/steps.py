@@ -147,10 +147,14 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
         return _policy_forward(model, params, images, cfg)
 
     @functools.partial(jax.jit, static_argnames=("height", "width"))
-    def solve_reward_program(key, mu, sigma, images, image_sizes, height,
-                             width):
+    def solve_reward_program(key, step_idx, mu, sigma, images, image_sizes,
+                             height, width):
         # sampling lives here, NOT in forward_program: threefry fused into
-        # the conv program also caught the layout poison
+        # the conv program also caught the layout poison. The per-step key
+        # derives from the base key + device step counter INSIDE the
+        # program, so drivers pass a constant key (a host-side split/fold_in
+        # costs a ~30 ms dispatch per step on the relay).
+        key = jax.random.fold_in(key, step_idx)
         w = sample_gaussian_policy(key, mu, sigma).w
         labels = segment(w, height, width)
         # minlabel: multicut labels are smallest-pixel-index connected
@@ -192,8 +196,8 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
              image_sizes: jnp.ndarray):
         height, width = images.shape[1], images.shape[2]
         mu, sigma = forward_program(state.params, images)
-        w, rewards = solve_reward_program(key, mu, sigma, images, image_sizes,
-                                          height, width)
+        w, rewards = solve_reward_program(key, state.step, mu, sigma, images,
+                                          image_sizes, height, width)
         return update_program(state, w, images, rewards)
 
     return step

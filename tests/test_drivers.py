@@ -29,6 +29,7 @@ def tiny_cfg(tmp_path, train, val):
     cfg.dataset_dir = str(train)
     cfg.val_dataset_dir = str(val)
     cfg.results_dir = str(tmp_path / "results")
+    cfg.cache_dir = str(tmp_path / "cache")
     cfg.image_size = 32
     cfg.edge_target = EdgeTarget.CANNY  # cheapest extractor
     cfg.pretrain.epochs = 1
@@ -70,3 +71,46 @@ def test_pretrain_then_reinforce(tmp_path, tiny_dataset):
     assert int(rl_state.step) == 2
     assert bool(rl_state.baseline_init)
     assert any("Eval reward" in ln for ln in rl_logs)
+
+    # structured metrics sink: one JSONL file per run with train/val records
+    import json
+    jsonls = list((tmp_path / "results").glob("metrics_*.jsonl"))
+    assert jsonls, "no metrics JSONL written"
+    records = [json.loads(ln) for p in jsonls
+               for ln in p.read_text().splitlines()]
+    assert any(r.get("phase") == "pretrain" and "val_loss" in r
+               for r in records)
+    assert any(r.get("phase") == "rl" and "eval_reward_mean" in r
+               for r in records)
+
+
+def test_target_cache_survives_restart(tmp_path, tiny_dataset):
+    """Disk-backed target cache: a second driver invocation must hit disk
+    instead of recomputing targets (VERDICT round-1 item 9)."""
+    from unittest import mock
+
+    from image_compression_tpu.train import pretrain as pt
+
+    train, val = tiny_dataset
+    cfg = tiny_cfg(tmp_path, train, val)
+
+    pt.run_pretraining(cfg, use_mesh=False, log=lambda *_: None)
+    cache_files = list((tmp_path / "cache" / "targets").glob("*.bits"))
+    assert len(cache_files) == 8  # one per training image
+
+    # second invocation: if any train target is recomputed (disk miss), the
+    # poisoned extractor raises
+    from image_compression_tpu.ops import targets as targets_mod
+    real = targets_mod.create_target_with_mask
+    calls = {"train_misses": 0}
+
+    def poisoned(images, target):
+        # validation targets are cached in RAM per-process only, so they
+        # recompute; train batches are batch_size=4, val is 2 images
+        if images.shape[0] == cfg.pretrain.batch_size:
+            calls["train_misses"] += 1
+        return real(images, target)
+
+    with mock.patch.object(pt, "create_target_with_mask", poisoned):
+        pt.run_pretraining(cfg, use_mesh=False, log=lambda *_: None)
+    assert calls["train_misses"] == 0, "train targets recomputed on restart"
