@@ -10,6 +10,14 @@ costs because re-aggregation per round is nearly free at this scale.
 After the presolve, the remaining work (regions spanning tile boundaries) is
 handled by the sorted global rounds in ops/multicut.py, which start from a
 few-thousand-region problem instead of 65k singletons.
+
+This module now backs only the sorted FALLBACK path (images not divisible
+by the hier base, and the mutual/hybrid modes); the default solve
+generalizes the same dense one-hot-matmul contraction to a full multilevel
+hierarchy in ops/multicut_hier.py. An experimental Pallas twin of this
+presolve was profiled at ~3x slower than the XLA lowering on v5e (Mosaic
+handled the small batched dot_generals poorly) and was deleted rather than
+shipped as dead weight — see BENCHMARKS.md.
 """
 
 from __future__ import annotations
@@ -19,8 +27,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _tile_local_edges(tile: int) -> tuple[np.ndarray, np.ndarray]:
@@ -138,180 +144,6 @@ def tile_presolve(costs_hw2: jnp.ndarray, tile: int = 16,
     img = (global_root.reshape(th, tw, tile, tile)
            .transpose(0, 2, 1, 3).reshape(height, width))
     return img.astype(jnp.int32)
-
-
-def _presolve_kernel(seed_ref, w_ref, out_ref, *, tile: int, rounds: int,
-                     width: int, tw: int, block: int):
-    """Pallas kernel: exact intra-tile GAEC for `block` tiles, VMEM-resident.
-
-    Region ids are carried as float32 (exact below 2^24). Edge endpoint
-    lookups and every dynamic gather g[idx] become one-hot matmuls on the MXU
-    — TPU has no fast vector gather.
-
-    STATUS: experimental. Numerically validated against tile_presolve (same
-    partitions up to coin randomness) but currently ~3x slower than the XLA
-    version on v5e — Mosaic lowers the small batched dot_generals poorly.
-    tile_presolve (XLA) remains the production path; revisit with a device
-    profile.
-
-    w_ref: [block, Ep] intra-tile edge weights (Ep = padded edge count,
-    horizontal row-major then vertical, zeros padding).
-    out_ref: [block, S] global pixel root ids.
-    """
-    s = tile * tile
-    ep = w_ref.shape[1]
-    n_h = tile * (tile - 1)
-
-    # static edge endpoints in local ids, built from iota arithmetic
-    e = jax.lax.broadcasted_iota(jnp.int32, (ep, 1), 0)
-    is_h = e < n_h
-    is_v = (e >= n_h) & (e < 2 * n_h)
-    u_h = (e // (tile - 1)) * tile + e % (tile - 1)
-    f = e - n_h
-    u_e = jnp.where(is_h, u_h, jnp.where(is_v, f, 0))
-    v_e = jnp.where(is_h, u_h + 1, jnp.where(is_v, f + tile, 0))
-    n_col_e = jax.lax.broadcasted_iota(jnp.int32, (ep, s), 1)
-    u_mat = (n_col_e == u_e).astype(jnp.float32)      # [Ep, S]
-    v_mat = (n_col_e == v_e).astype(jnp.float32)
-
-    ids = jax.lax.broadcasted_iota(jnp.int32, (block, s), 1) \
-        .astype(jnp.float32)  # [B, S]
-    n_col = jax.lax.broadcasted_iota(jnp.int32, (block, s, s), 2) \
-        .astype(jnp.float32)
-
-    w_all = w_ref[:, :]
-
-    def egather(root, mat):
-        # root[b, u_e[e]] for all edges: [B, S] @ [S, Ep]
-        return jax.lax.dot_general(
-            root, mat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    def ngather(vec, idx):
-        # vec[b, idx[b, i]] via batched one-hot matmul
-        oh = (n_col == idx[:, :, None]).astype(jnp.float32)
-        return jax.lax.dot_general(
-            oh, vec, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-
-    prog = pl.program_id(0)
-    tile_global = (prog * block
-                   + jax.lax.broadcasted_iota(jnp.int32, (block, s), 0))
-
-    root = ids
-
-    for r in range(rounds):
-        ru = egather(root, u_mat)        # [B, Ep]
-        rv = egather(root, v_mat)
-        active = ru != rv
-        a = jnp.minimum(ru, rv)
-        b = jnp.maximum(ru, rv)
-        we = jnp.where(active, w_all, 0.0)
-
-        # dense pair matrix, accumulated in edge chunks to bound VMEM.
-        # NOTE: slice and expand separately — x[:, sl, None] lowers to a
-        # gather, which Mosaic cannot vectorize.
-        chunk = 128
-        pair = jnp.zeros((block, s, s), jnp.float32)
-        for c in range(ep // chunk):
-            a_c = jnp.expand_dims(
-                jax.lax.slice_in_dim(a, c * chunk, (c + 1) * chunk, axis=1), 2)
-            b_c = jnp.expand_dims(
-                jax.lax.slice_in_dim(b, c * chunk, (c + 1) * chunk, axis=1), 2)
-            w_c = jnp.expand_dims(
-                jax.lax.slice_in_dim(we, c * chunk, (c + 1) * chunk, axis=1), 2)
-            n_c = jax.lax.broadcasted_iota(
-                jnp.int32, (block, chunk, s), 2).astype(jnp.float32)
-            a_oh = jnp.where(n_c == a_c, w_c, 0.0)
-            b_oh = (n_c == b_c).astype(jnp.float32)
-            pair = pair + jax.lax.dot_general(
-                a_oh, b_oh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-        sym = pair + jnp.swapaxes(pair, 1, 2)
-
-        best = jnp.max(sym, axis=2)
-        partner = jnp.min(
-            jnp.where(sym == best[:, :, None], n_col, float(s)), axis=2)
-        merge = best > 0.0
-        partner = jnp.where(merge, partner, ids)
-
-        pp = ngather(partner, partner)
-        mutual = merge & (pp == ids)
-        # platform-independent coin: murmur-style integer hash (int32 iota;
-        # Mosaic has no f32->u32 cast)
-        ids_u = jax.lax.broadcasted_iota(jnp.int32, (block, s), 1) \
-            .astype(jnp.uint32)
-        h = (ids_u
-             + tile_global.astype(jnp.uint32) * jnp.uint32(7919)
-             + seed_ref[0].astype(jnp.uint32)
-             + jnp.uint32((r * 2654435761) % (1 << 32)))
-        h = h ^ (h >> 16)
-        h = h * jnp.uint32(0x7FEB352D)
-        h = h ^ (h >> 15)
-        h = h * jnp.uint32(0x846CA68B)
-        h = h ^ (h >> 16)
-        coin = (h & 1) == 0
-        coin_at_partner = ngather(coin.astype(jnp.float32), partner) > 0.5
-        tails = merge & ~coin & coin_at_partner
-        mrg = mutual | tails
-
-        nxt = jnp.where(mrg, partner, ids)
-        nn = ngather(nxt, nxt)
-        two_cycle = (nn == ids) & (ids < nxt)
-        nxt = jnp.where(two_cycle, ids, nxt)
-        nxt = ngather(nxt, nxt)
-        nxt = ngather(nxt, nxt)
-        root = ngather(nxt, root)
-
-    # local root -> global pixel index
-    ty = (tile_global // tw).astype(jnp.float32)
-    tx = (tile_global % tw).astype(jnp.float32)
-    row = jnp.floor(root / tile)
-    col = root - row * tile
-    gy = ty * tile + row
-    gx = tx * tile + col
-    out_ref[:, :] = (gy * width + gx).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("tile", "rounds", "interpret",
-                                             "block"))
-def tile_presolve_pallas(costs_hw2: jnp.ndarray, tile: int = 16,
-                         rounds: int = 6, seed: int = 0,
-                         interpret: bool = False,
-                         block: int = 8) -> jnp.ndarray:
-    """Pallas version of tile_presolve (see _presolve_kernel)."""
-    height, width = costs_hw2.shape[:2]
-    assert height % tile == 0 and width % tile == 0
-    th, tw = height // tile, width // tile
-    t_count = th * tw
-    assert t_count % block == 0
-    s = tile * tile
-
-    w = _tile_weights(costs_hw2.astype(jnp.float32), tile)  # [T, 2*n_h]
-    ep = -(-w.shape[1] // 128) * 128  # round up to lane multiple
-    pad = ep - w.shape[1]
-    if pad:
-        w = jnp.pad(w, ((0, 0), (0, pad)))
-
-    kernel = functools.partial(_presolve_kernel, tile=tile, rounds=rounds,
-                               width=width, tw=tw, block=block)
-    root = pl.pallas_call(
-        kernel,
-        grid=(t_count // block,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, ep), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block, s), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_count, s), jnp.int32),
-        interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), w)
-
-    # [T, S] -> [H, W]
-    return (root.reshape(th, tw, tile, tile)
-            .transpose(0, 2, 1, 3).reshape(height, width))
 
 
 def boundary_edges(height: int, width: int,
