@@ -486,6 +486,48 @@ def multicut_grid_batched(costs_bhw2: jnp.ndarray, max_rounds: int = 3,
     return jax.vmap(fn)(costs_bhw2)
 
 
+@jax.jit
+def multicut_upper_bound(costs_hw2: jnp.ndarray) -> jnp.ndarray:
+    """Cycle-packing dual bound: a certified UPPER bound on the joined-edge
+    objective (the maximization twin of the lower bound RAMA's dual phase
+    reports, rama_wrapper.cu:26-44; conflicted-cycle packing per
+    arXiv:2109.01838).
+
+    The trivial bound joins every attractive edge: UB0 = sum of positive
+    costs. Every grid unit square whose 4-cycle has EXACTLY ONE repulsive
+    edge is conflicted: a partition either cuts some attractive edge of the
+    cycle (losing >= its weight) or joins all three, which connects the
+    repulsive edge's endpoints and pays its magnitude — any partition loses
+    at least min(smallest positive in cycle, |negative|). Losses of
+    edge-disjoint squares add, so subtracting the best of the four parity
+    packings (squares at fixed (y%2, x%2) share no edges) keeps the bound
+    valid. The solver's gap certificate is
+    (multicut_upper_bound - multicut_objective) / |objective|.
+    """
+    height, width = costs_hw2.shape[:2]
+    costs = costs_hw2.astype(jnp.float32)
+    wh = costs[:, : width - 1, 0]          # [H, W-1] horizontal edges
+    wv = costs[: height - 1, :, 1]         # [H-1, W] vertical edges
+    ub0 = jnp.sum(jnp.maximum(wh, 0.0)) + jnp.sum(jnp.maximum(wv, 0.0))
+
+    # unit square (y, x), y < H-1, x < W-1: top/bottom horizontal,
+    # left/right vertical
+    e = jnp.stack([wh[: height - 1, :], wh[1:, :],
+                   wv[:, : width - 1], wv[:, 1:]], axis=-1)  # [H-1, W-1, 4]
+    neg = e < 0.0
+    conflicted = jnp.sum(neg, axis=-1) == 1
+    min_pos = jnp.min(jnp.where(neg, jnp.inf, e), axis=-1)
+    neg_mag = -jnp.sum(jnp.minimum(e, 0.0), axis=-1)
+    loss = jnp.where(conflicted, jnp.minimum(min_pos, neg_mag), 0.0)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, loss.shape, 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, loss.shape, 1)
+    packs = jnp.stack([
+        jnp.sum(jnp.where((ys % 2 == py) & (xs % 2 == px), loss, 0.0))
+        for py in (0, 1) for px in (0, 1)])
+    return ub0 - jnp.max(packs)
+
+
 def multicut_objective(costs_hw2: np.ndarray, labels_hw: np.ndarray) -> float:
     """Sum of costs of *joined* edges (GAEC maximizes this). Host-side helper
     for tests/benchmarks."""

@@ -135,3 +135,50 @@ def test_aggregation_beats_local_greedy():
     assert labels[0, 0] == labels[0, 1]
     assert labels[1, 0] == labels[1, 1]
     assert labels[0, 0] != labels[1, 0], "merged across net-repulsive boundary"
+
+
+def test_upper_bound_certifies_solver():
+    """Cycle-packing dual bound (the maximization twin of RAMA's
+    lower_bound): certified >= any achievable objective, including the
+    exact optimum on tiny grids."""
+    from image_compression_tpu.ops.multicut import multicut_upper_bound
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        costs = rng.normal(size=(3, 3, 2)).astype(np.float32)
+        costs[:, -1, 0] = 0.0
+        costs[-1, :, 1] = 0.0
+        _labels, opt = brute_force_multicut(costs)
+        ub = float(multicut_upper_bound(jnp.asarray(costs)))
+        assert ub >= opt - 1e-5, (ub, opt)
+
+
+def test_upper_bound_tight_on_planted():
+    """Signs derived from a real partition are conflict-free: the bound is
+    exact and the solver attains it (a zero-gap certificate)."""
+    from image_compression_tpu.ops.multicut import multicut_upper_bound
+
+    gt = random_rect_partition(32, 32, min_h=4, min_w=4, min_rect_count=6,
+                               seed=11)
+    signs = partition_to_edge_signs(gt).astype(np.float32)
+    ub = float(multicut_upper_bound(jnp.asarray(signs)))
+    labels = np.asarray(multicut_grid(jnp.asarray(signs)))
+    obj = multicut_objective(signs, labels)
+    assert abs(ub - obj) < 1e-4, (ub, obj)
+
+
+def test_upper_bound_gap_small_on_realistic_fields():
+    """On bench-like smooth cost fields the solver's certified gap stays
+    small (documents solver quality without a brute-force oracle)."""
+    from benchmarks.profile_multicut import make_costs
+    from image_compression_tpu.ops.multicut import multicut_upper_bound
+
+    costs = make_costs(batch=2, size=64)
+    for i in range(2):
+        c = np.asarray(costs[i])
+        labels = np.asarray(multicut_grid(jnp.asarray(c)))
+        obj = multicut_objective(c, labels)
+        ub = float(multicut_upper_bound(jnp.asarray(c)))
+        assert ub >= obj - 1e-4
+        gap = (ub - obj) / abs(obj)
+        assert gap < 0.05, f"certified gap {gap:.3%}"
