@@ -283,10 +283,48 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
 
     # --- sort-free hierarchical dense path (ops/multicut_hier.py) ----------
     # Used whenever the grid admits at least two doubling levels; the sorted
-    # machinery below remains for tiny/odd shapes and as the finishing stage
+    # machinery below remains for tiny shapes and as the finishing stage
     # when the top supertile is smaller than the image (H != W cases).
     # "mutual" and "hybrid" stay on the sorted path: mutual-only matching
     # converges too slowly per level, overflowing the dense slot caps.
+    # Non-divisible images pad up to multiples of 32 with zero-cost edges
+    # (padding pixels stay singletons and are cropped away) instead of
+    # falling back to the ~10x-slower sorted path; 32 guarantees the padded
+    # grid admits the 8->16->32 hierarchy levels.
+    if (hier and mode in ("chain", "random_mate")
+            and len(plan_levels(height, width, 8)) < 2
+            and min(height, width) >= 16):
+        from image_compression_tpu.ops.edges import edge_validity_masks
+
+        ph, pw = -(-height // 32) * 32, -(-width // 32) * 32
+        # the original's padding slots (last column/row) become real edges
+        # to padded pixels: zero them before padding. Padding-to-padding
+        # edges get a positive weight so the padding collapses into ONE
+        # region per supertile (a single rank slot) instead of hundreds of
+        # singletons crowding out real regions from the hierarchy's slot
+        # caps; real-to-padding edges stay 0 (never merged).
+        masked = costs_f32 * edge_validity_masks(height, width)
+        ys_p = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+        xs_p = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+        pad_pad = ((ys_p >= height) | (xs_p >= width)).astype(jnp.float32)
+        padded = (pad_pad[..., None]
+                  + jnp.pad(masked,
+                            ((0, ph - height), (0, pw - width), (0, 0))))
+        out = multicut_grid(padded, max_rounds=max_rounds, mode=mode,
+                            icm_sweeps=icm_sweeps,
+                            matchings_per_round=matchings_per_round,
+                            tile=tile, presolve_rounds=presolve_rounds,
+                            boundary_rounds=boundary_rounds,
+                            return_rounds=return_rounds, hier=True)
+        if return_rounds:
+            labels_p, rounds = out
+        else:
+            labels_p, rounds = out, None
+        # labels reference padded pixel indices: restore the smallest-pixel-
+        # index contract in original coordinates
+        labels = relabel_connected(labels_p[:height, :width])
+        return (labels, rounds) if return_rounds else labels
+
     hier_sides = plan_levels(height, width, 8) if hier else []
     if len(hier_sides) >= 2 and mode in ("chain", "random_mate"):
         res = hier_gaec(costs_f32, mode=mode)

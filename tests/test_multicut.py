@@ -182,3 +182,32 @@ def test_upper_bound_gap_small_on_realistic_fields():
         assert ub >= obj - 1e-4
         gap = (ub - obj) / abs(obj)
         assert gap < 0.05, f"certified gap {gap:.3%}"
+
+
+def test_odd_sizes_use_padded_hier_and_stay_correct():
+    """Non-8-divisible images solve via zero-cost padding: invariants and
+    label contract hold, and quality matches the sorted path."""
+    rng = np.random.default_rng(2)
+    costs = rng.normal(size=(30, 43, 2)).astype(np.float32)
+    costs[:, -1, 0] = 0.0
+    costs[-1, :, 1] = 0.0
+    labels = np.asarray(multicut_grid(jnp.asarray(costs)))
+    assert labels.shape == (30, 43)
+    # smallest-pixel-index contract in ORIGINAL coordinates
+    for lab in np.unique(labels):
+        ys, xs = np.where(labels == lab)
+        assert lab == (ys * 43 + xs).min()
+    from scipy import ndimage
+    for lab in np.unique(labels):
+        assert ndimage.label(labels == lab)[1] == 1
+    obj_h = multicut_objective(costs, labels)
+    obj_s = multicut_objective(costs, np.asarray(
+        multicut_grid(jnp.asarray(costs), hier=False)))
+    scale = np.abs(costs).sum()
+    assert obj_h >= obj_s - 0.01 * scale, (obj_h, obj_s)
+
+    # trivial invariants at odd sizes
+    assert len(np.unique(np.asarray(
+        multicut_grid(jnp.ones((20, 26, 2)))))) == 1
+    assert len(np.unique(np.asarray(
+        multicut_grid(-jnp.ones((20, 26, 2)))))) == 20 * 26
