@@ -62,15 +62,25 @@ def _edge_weights(img: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "k", "min_size",
-                                             "max_rounds"))
+                                             "max_rounds", "hier"))
 def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
                         k: float = 100.0, min_size: int = 250,
-                        max_rounds: int = 48) -> jnp.ndarray:
+                        max_rounds: int = 48, hier: bool = True) -> jnp.ndarray:
     """One image [H, W, C] float [0,1] -> labels [H, W] int32.
 
-    Defaults mirror graph_based_edge.h:10-15.
+    Defaults mirror graph_based_edge.h:10-15. Images admitting >= 2 supertile
+    doubling levels dispatch to the hierarchical dense implementation
+    (ops/graph_based_hier.py, ~50x faster on TPU); this module's pixel-space
+    parallel Boruvka remains the fallback for small/odd shapes and the
+    cross-validation reference in tests.
     """
     height, width = image_f01.shape[:2]
+    from image_compression_tpu.ops.graph_based_hier import (
+        felzenszwalb_labels_hier, plan_levels)
+
+    if hier and len(plan_levels(height, width, 8)) >= 2:
+        return felzenszwalb_labels_hier(image_f01, sigma=sigma, k=k,
+                                        min_size=min_size)
     n = height * width
     img = image_f01.astype(jnp.float32) * 255.0
     ksize = 2 * int(np.ceil(4.0 * sigma)) + 1  # cv auto kernel for float
@@ -109,39 +119,20 @@ def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
         ru = jnp.stack([im] * 4, axis=-1).reshape(-1)
         return ru, rv
 
-    def pair_table(root):
-        """Sorted distinct-pair table (pa, pb, pw): min weight per adjacent
-        region pair. One sort per aggregation round."""
+    def best_neighbor(root):
+        """Per-region minimum outgoing edge weight + partner region.
+
+        Works directly on the raw edge list: min over duplicate region
+        pairs equals the pair min, so no sorted dedup is needed (the sort
+        that dominated this extractor's runtime — unlike the multicut
+        solver, whose SUM aggregation genuinely requires dedup)."""
         ru, rv = endpoints(root)
         active = ru != rv
-        a = jnp.where(active, jnp.minimum(ru, rv), n)
-        b = jnp.where(active, jnp.maximum(ru, rv), n)
-        we = jnp.where(active, w, BIG)
-        if n <= (1 << 16):
-            key = jnp.where(active,
-                            a.astype(jnp.uint32) * jnp.uint32(n)
-                            + b.astype(jnp.uint32),
-                            jnp.uint32(0xFFFFFFFF))
-            key_s, w_s = jax.lax.sort((key, we), num_keys=2)
-            a_s = (key_s // jnp.uint32(n)).astype(jnp.int32)
-            b_s = (key_s % jnp.uint32(n)).astype(jnp.int32)
-        else:
-            a_s, b_s, w_s = jax.lax.sort((a, b, we), num_keys=3)
-        is_start = jnp.concatenate([
-            jnp.ones((1,), bool),
-            (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
-        # sorted by (a, b, w): the run start holds the pair's min weight
-        run_ok = is_start & (a_s < b_s) & (b_s < n)
-        pa = jnp.where(run_ok, a_s, n)
-        pb = jnp.where(run_ok, b_s, n)
-        return pa, pb, w_s
-
-    def select_best(pa, pb, pw, gate):
-        """Per-region min outgoing pair among rows passing `gate` [rows]."""
-        act = gate & (pa < n) & (pb < n)
-        src = jnp.concatenate([jnp.where(act, pa, n), jnp.where(act, pb, n)])
-        dst = jnp.concatenate([jnp.where(act, pb, n), jnp.where(act, pa, n)])
-        val = jnp.concatenate([pw, pw])
+        src = jnp.concatenate([jnp.where(active, ru, n),
+                               jnp.where(active, rv, n)])
+        dst = jnp.concatenate([jnp.where(active, rv, n),
+                               jnp.where(active, ru, n)])
+        val = jnp.concatenate([w, w])
         valid = src < n
         src_c = jnp.where(valid, src, 0)
         best = jax.ops.segment_min(jnp.where(valid, val, BIG), src_c,
@@ -151,18 +142,14 @@ def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
                                       num_segments=n)
         return best, partner
 
-    def best_neighbor(root):
-        pa, pb, pw = pair_table(root)
-        return select_best(pa, pb, pw, jnp.ones(pa.shape, bool))
-
     def contract(root, merge, partner):
         """Returns (region mapping old-root -> new-root, new per-pixel root)."""
         nxt = jnp.where(merge, partner, ids)
         two_cycle = (nxt[nxt] == ids) & (ids < nxt)
         nxt = jnp.where(two_cycle, ids, nxt)
-        # random-mate scheduling keeps merge forests star-shaped (depth <= 8
-        # -> 3 doublings); deeper residue finishes next round
-        for _ in range(3):
+        # depth cap 4: single-element-row gathers serialize on TPU; deeper
+        # absorption chains finish in later rounds
+        for _ in range(2):
             nxt = nxt[nxt]
         return nxt, nxt[root]
 
@@ -174,13 +161,9 @@ def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
         size = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), root,
                                    num_segments=n)
         tau = internal + k / jnp.maximum(size, 1.0)
-        pa, pb, pw = pair_table(root)
-        # best/partner/criterion computed ONCE per aggregation: every merge is
-        # on the region's true minimum edge with exact round-start state.
-        # Passes only retry pairs the coin scheduling left unmerged (both
-        # endpoints still untouched) — unlike a gated re-selection, this is
-        # order-sound for the Felzenszwalb criterion.
-        best, partner = select_best(pa, pb, pw, jnp.ones(pa.shape, bool))
+        # best/partner/criterion computed ONCE per aggregation: every merge
+        # is on the region's true minimum edge with exact round-start state.
+        best, partner = best_neighbor(root)
         partner_safe = jnp.where(partner < n, partner, 0)
         # crit tests the (r, partner) edge against BOTH regions' thresholds,
         # so it is symmetric in the pair
@@ -196,14 +179,13 @@ def felzenszwalb_labels(image_f01: jnp.ndarray, sigma: float = 1.0,
         nxt = jnp.where(merge, partner_safe, ids)
         two_cycle = (nxt[nxt] == ids) & (ids < nxt)
         nxt = jnp.where(two_cycle, ids, nxt)
-        for _ in range(5):  # depth cap 32; deeper residue merges next round
-            nxt = nxt[nxt]
+        for _ in range(3):  # depth cap 8 (single-element-row gathers
+            nxt = nxt[nxt]  # serialize on TPU); deeper residue next round
         m = nxt
-        contrib = jnp.zeros((n,), jnp.float32)
-        contrib = contrib.at[jnp.where(merge, ids, n - 1)].max(
-            jnp.where(merge, best, 0.0))
-        contrib = contrib.at[jnp.where(merge, partner_safe, n - 1)].max(
-            jnp.where(merge, best, 0.0))
+        # each merging region r carries its merge-edge weight; the partner
+        # needs no scatter — r and its partner share a root, so the
+        # segment_max below propagates the weight to the whole group
+        contrib = jnp.where(merge, best, 0.0)
 
         new_root = m[root]
         # Int(new) = max over merged old regions of (Int, merge-edge weight)

@@ -1,0 +1,339 @@
+"""Hierarchical dense Felzenszwalb segmentation (the extractor analog of
+ops/multicut_hier.py).
+
+The pixel-space parallel-Boruvka formulation in ops/graph_based.py pays for
+sorted/scattered segment reductions and serialized pointer-jump gathers at
+n = H*W scale every round (~250 ms/img at 256px on v5e). Here every round
+works in per-supertile SLOT space instead: regions are rank-compacted to a
+static slot count per tile, each region's minimum outgoing edge and the
+Felzenszwalb criterion
+    join over edge w iff w <= min(Int(A) + k/|A|, Int(B) + k/|B|)
+are evaluated with compare-and-reduce passes over [T, E, S] arrays, id
+lookups are slot-space one-hot matmuls, and the per-region state (component
+size and internal difference Int) is carried as PIXEL MAPS so level
+transitions stay elementwise. Supertile sides double per level
+(8 -> 16 -> ...); a final GLOBAL stage (the whole image as one tile) runs
+the remaining criterion rounds plus the reference backend's min_size
+absorption post-pass (graph_based_edge.cpp:44-94 semantics, parallel
+schedule). Slot-cap overflow freezes regions exactly like multicut_hier
+(counted; caps sized so real images never freeze).
+
+Same documented divergence as the pixel-space version: the merge ORDER is
+parallel-Boruvka, not sequential Kruskal, with every merge still gated by
+the exact criterion — validated statistically in tests/test_extractors.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_compression_tpu.ops.color import gaussian_blur
+from image_compression_tpu.ops.multicut_hier import (_from_tiles, _take_slots,
+                                                     _to_tiles, plan_levels)
+
+BIG = 1e9
+# (dy, dx) of the 8-connected edge planes: right, down, down-right, down-left
+PLANES = ((0, 1), (1, 0), (1, 1), (1, -1))
+
+
+def _edge_weight_planes(img: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, C] float -> [H, W, 4] Euclidean color distances, BIG on
+    out-of-image targets (graph_based_edge.cpp edge construction)."""
+    height, width = img.shape[:2]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+
+    def dist(dy, dx):
+        pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)), (0, 0))
+        shifted = jnp.pad(img, pad, mode="edge")
+        shifted = shifted[max(0, dy):max(0, dy) + height,
+                          max(0, dx):max(0, dx) + width]
+        w = jnp.sqrt(jnp.sum((img - shifted) ** 2, axis=-1))
+        ok = ((ys + dy >= 0) & (ys + dy < height)
+              & (xs + dx >= 0) & (xs + dx < width))
+        return jnp.where(ok, w, BIG)
+
+    return jnp.stack([dist(dy, dx) for dy, dx in PLANES], axis=-1)
+
+
+def _shift_map(img2d: jnp.ndarray, dy: int, dx: int,
+               fill) -> jnp.ndarray:
+    """Value at (y+dy, x+dx) per pixel, `fill` outside."""
+    height, width = img2d.shape
+    pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+    out = jnp.pad(img2d, pad, constant_values=fill)
+    return out[max(0, dy):max(0, dy) + height,
+               max(0, dx):max(0, dx) + width]
+
+
+def _level_edges(rank_img: jnp.ndarray, w_planes: jnp.ndarray, s: int,
+                 tiles: bool) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Endpoint ranks and weights of all 8-connected edges usable at tile
+    side `s`: edges crossing an s-boundary get weight BIG (they activate at
+    a higher level / the global stage). Returns a, b: [T, E], w: [T, E]
+    (or [1, E] flattened when tiles=False for the global stage)."""
+    height, width = rank_img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+
+    a_planes, b_planes, w_out = [], [], []
+    for p, (dy, dx) in enumerate(PLANES):
+        tgt = _shift_map(rank_img, dy, dx, -1)
+        w = w_planes[..., p]
+        if tiles:
+            cross = jnp.zeros_like(w, bool)
+            if dx > 0:
+                cross |= xs % s == s - 1
+            if dx < 0:
+                cross |= xs % s == 0
+            if dy > 0:
+                cross |= ys % s == s - 1
+            w = jnp.where(cross, BIG, w)
+        a_planes.append(rank_img)
+        b_planes.append(tgt)
+        w_out.append(w)
+
+    def pack(maps):
+        if tiles:
+            return jnp.concatenate([_to_tiles(m, s) for m in maps], axis=1)
+        return jnp.concatenate([m.reshape(1, -1) for m in maps], axis=1)
+
+    return pack(a_planes), pack(b_planes), pack(w_out)
+
+
+def _slot_state(rank_img: jnp.ndarray, int_img: jnp.ndarray, s: int,
+                slots: int, tiles: bool):
+    """Per-slot component size and Int from the pixel maps."""
+    if tiles:
+        ranks_t = _to_tiles(rank_img, s)
+        int_t = _to_tiles(int_img, s)
+    else:
+        ranks_t = rank_img.reshape(1, -1)
+        int_t = int_img.reshape(1, -1)
+    oh = jax.nn.one_hot(ranks_t, slots, dtype=jnp.bfloat16)   # [T, P, S]
+    size = jnp.sum(oh, axis=1, dtype=jnp.float32)             # [T, S]
+    int_slot = jnp.max(jnp.where(oh > 0, int_t[..., None], -BIG), axis=1)
+    return ranks_t, size, jnp.maximum(int_slot, 0.0)
+
+
+def _felz_round(rank_img, int_img, w_planes, s: int, slots: int, k: float,
+                tiles: bool, absorb_min_size: int = 0,
+                mutual: bool = False):
+    """One dense criterion round (or, with absorb_min_size > 0, one min_size
+    absorption round). Returns updated (rank_img, int_img).
+
+    mutual=True restricts merges to mutual-best pairs: regions at plateau
+    scale must not chain through transition regions within one round (the
+    round-start Int/size go stale mid-chain and bridge plateaus sequential
+    Kruskal keeps apart). Hooking (mutual=False) is safe — and 3x faster
+    converging — at small supertile scales, where chains only span
+    within-plateau pieces."""
+    height, width = rank_img.shape
+    ranks_t, size, int_slot = _slot_state(rank_img, int_img, s, slots, tiles)
+    a, b, w_e = _level_edges(rank_img, w_planes, s, tiles)
+
+    sid = jnp.arange(slots, dtype=jnp.int32)[None, :]          # [1, S]
+    active = (a != b) & (a >= 0) & (b >= 0) & (w_e < BIG)
+    wa = jnp.where(active, w_e, BIG)
+
+    # per-slot minimum outgoing edge: compare-reduce over the edge axis for
+    # both endpoint roles (XLA fuses the [T, E, S] compares into the min)
+    cmp_a = a[..., None] == sid[:, None, :]                    # [T, E, S]
+    cmp_b = b[..., None] == sid[:, None, :]
+    best = jnp.minimum(
+        jnp.min(jnp.where(cmp_a, wa[..., None], BIG), axis=1),
+        jnp.min(jnp.where(cmp_b, wa[..., None], BIG), axis=1))  # [T, S]
+
+    # partner: the other endpoint of a best-achieving edge (smallest id tie)
+    best_a = _take_slots(best, jnp.maximum(a, 0), slots)
+    best_b = _take_slots(best, jnp.maximum(b, 0), slots)
+    part = jnp.minimum(
+        jnp.min(jnp.where(cmp_a & (wa == best_a)[..., None],
+                          b[..., None], slots), axis=1),
+        jnp.min(jnp.where(cmp_b & (wa == best_b)[..., None],
+                          a[..., None], slots), axis=1)).astype(jnp.int32)
+    has_best = (best < BIG) & (part < slots)
+    part_safe = jnp.where(has_best, part, 0)
+
+    if absorb_min_size:
+        # absorb small components along their cheapest boundary
+        # (image_slicer-backend post-pass semantics); merge into strictly
+        # larger partners or mutually between equal partners (terminates)
+        p_size = _take_slots(size, part_safe, slots)
+        small = (size < float(absorb_min_size)) & has_best & (size > 0)
+        pp = _take_slots(part_safe.astype(jnp.float32), part_safe,
+                         slots).astype(jnp.int32)
+        sid_b = jnp.broadcast_to(sid, part_safe.shape)
+        ok = small & ((p_size > size)
+                      | ((p_size == size) & (part_safe < sid_b)))
+        p_small = _take_slots(small.astype(jnp.float32), part_safe,
+                              slots) > 0.5
+        mutual = small & (pp == sid_b) & p_small
+        merge = ok | mutual
+        cand_int = int_slot  # Int no longer matters in the absorb phase
+    else:
+        tau = int_slot + k / jnp.maximum(size, 1.0)
+        tau_p = _take_slots(tau, part_safe, slots)
+        merge = has_best & (best <= tau) & (best <= tau_p) & (size > 0)
+        if mutual:
+            pp = _take_slots(part_safe.astype(jnp.float32), part_safe,
+                             slots).astype(jnp.int32)
+            sid_b = jnp.broadcast_to(sid, part_safe.shape)
+            merge = merge & (pp == sid_b) & (sid_b > part_safe)
+        cand_int = jnp.maximum(int_slot, jnp.where(merge, best, 0.0))
+
+    nxt = jnp.where(merge, part_safe, jnp.broadcast_to(sid, part_safe.shape))
+    nn = _take_slots(nxt.astype(jnp.float32), nxt, slots).astype(jnp.int32)
+    two_cycle = (nn == sid) & (sid < nxt)
+    nxt = jnp.where(two_cycle, jnp.broadcast_to(sid, nxt.shape), nxt)
+    nxt_f = nxt.astype(jnp.float32)
+    for _ in range(3):
+        nxt_f = _take_slots(nxt_f, nxt_f.astype(jnp.int32), slots)
+    nxt = nxt_f.astype(jnp.int32)
+
+    # Int(root) = max over merged slots of cand_int
+    oh_nxt = jax.nn.one_hot(nxt, slots, dtype=jnp.bfloat16)    # [T, S, S]
+    new_int = jnp.max(jnp.where(oh_nxt > 0, cand_int[..., None], -BIG),
+                      axis=1)
+    new_int = jnp.maximum(new_int, 0.0)
+
+    new_rank_t = jnp.where(ranks_t < 0, -1,
+                           _take_slots(nxt_f, ranks_t, slots)
+                           .astype(jnp.int32))
+    new_int_t = _take_slots(new_int, jnp.maximum(new_rank_t, 0), slots)
+    if tiles:
+        new_rank = _from_tiles(new_rank_t, height, width, s)
+        new_int_img = _from_tiles(new_int_t, height, width, s)
+    else:
+        new_rank = new_rank_t.reshape(height, width)
+        new_int_img = new_int_t.reshape(height, width)
+    new_int_img = jnp.where(new_rank < 0, int_img, new_int_img)
+    return new_rank, new_int_img
+
+
+def _compact(rank_img, s: int, slots: int, tiles: bool):
+    """Re-rank live slots densely; returns (rank_img, n_alive [T])."""
+    height, width = rank_img.shape
+    ranks_t = (_to_tiles(rank_img, s) if tiles
+               else rank_img.reshape(1, -1))
+    alive = jnp.max(jax.nn.one_hot(ranks_t, slots, dtype=jnp.float32),
+                    axis=1) > 0
+    new_rank = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+    n_alive = new_rank[:, -1] + 1
+    g = jnp.where(ranks_t < 0, -1,
+                  _take_slots(new_rank.astype(jnp.float32), ranks_t,
+                              slots).astype(jnp.int32))
+    out = (_from_tiles(g, height, width, s) if tiles
+           else g.reshape(height, width))
+    return out, n_alive
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "k", "min_size",
+                                             "global_slots"))
+def felzenszwalb_labels_hier(image_f01: jnp.ndarray, sigma: float = 1.0,
+                             k: float = 100.0, min_size: int = 250,
+                             global_slots: int = 512) -> jnp.ndarray:
+    """One image [H, W, C] float [0,1] -> labels [H, W] int32 (smallest
+    pixel index per segment). Requires H, W divisible by 8 with >= 2
+    hierarchy levels; ops/graph_based.py dispatches here and falls back to
+    the pixel-space implementation otherwise."""
+    height, width = image_f01.shape[:2]
+    n = height * width
+    img = image_f01.astype(jnp.float32) * 255.0
+    ksize = 2 * int(np.ceil(4.0 * sigma)) + 1
+    img = jnp.moveaxis(
+        gaussian_blur(jnp.moveaxis(img, -1, 0), ksize, sigma), 0, -1)
+    w_planes = _edge_weight_planes(img)
+
+    sides = plan_levels(height, width, 8)
+    caps = []
+    for i, s in enumerate(sides):
+        caps.append(s * s if i == 0 else int(min(caps[-1] * 4, s * s,
+                                                 128 + 64 * i)))
+    # hooking converges fast at sub-plateau scales; plateau-scale levels
+    # (> 32 px) need mutual matching and more rounds (see _felz_round)
+    rounds = [(3, False), (2, False)] + [
+        (2, False) if s <= 32 else (4, True) for s in sides[2:]]
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    frozen = jnp.zeros((height, width), bool)
+    final_gid = jnp.zeros((height, width), jnp.int32)
+    int_img = jnp.zeros((height, width), jnp.float32)
+    rank_img = None
+    ncand = None
+    for i, s in enumerate(sides):
+        slots = int(caps[i])
+        if i == 0:
+            rank_img = (ys % s) * s + (xs % s)
+        else:
+            # level transition: offset each subtile's dense ranks by the
+            # live counts of preceding subtiles (ops/multicut_hier.py
+            # hier_gaec:transition, same quad order)
+            prev_s = sides[i - 1]
+            th_p, tw_p = height // prev_s, width // prev_s
+            counts = ncand.reshape(th_p, tw_p)
+            c00 = counts[0::2, 0::2]
+            c01 = counts[0::2, 1::2]
+            c10 = counts[1::2, 0::2]
+            off = jnp.stack([
+                jnp.stack([jnp.zeros_like(c00), c00], -1),
+                jnp.stack([c00 + c01, c00 + c01 + c10], -1),
+            ], -2)
+            off_prev = off.transpose(0, 2, 1, 3).reshape(th_p, tw_p)
+            off_img = jnp.repeat(jnp.repeat(off_prev, prev_s, axis=0),
+                                 prev_s, axis=1)
+            cand_img = rank_img + off_img
+            newly = ~frozen & (rank_img >= 0) & (cand_img >= slots)
+            prev_tile_idx = (ys // prev_s) * tw_p + (xs // prev_s)
+            gid_prev = prev_tile_idx * int(caps[i - 1]) + rank_img
+            final_gid = jnp.where(newly, i * n + gid_prev, final_gid)
+            frozen = frozen | newly
+            rank_img = jnp.where(frozen, -1, cand_img)
+
+        n_rounds, mut = rounds[i]
+        for _ in range(int(n_rounds)):
+            rank_img, int_img = _felz_round(rank_img, int_img, w_planes, s,
+                                            slots, k, tiles=True, mutual=mut)
+        rank_img, ncand = _compact(rank_img, s, slots, tiles=True)
+
+    # ---- global stage: whole image as one tile ---------------------------
+    s_top = sides[-1]
+    th, tw = height // s_top, width // s_top
+    counts = ncand.reshape(-1)
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(counts)[:-1]])
+    tile_idx = (ys // s_top) * tw + (xs // s_top)
+    off_img = _take_slots(off.astype(jnp.float32)[None, :],
+                          tile_idx.reshape(1, -1), th * tw) \
+        .astype(jnp.int32).reshape(height, width)
+    cand = rank_img + off_img
+    newly = ~frozen & (rank_img >= 0) & (cand >= global_slots)
+    gid_prev = tile_idx * int(caps[-1]) + rank_img
+    final_gid = jnp.where(newly, len(sides) * n + gid_prev, final_gid)
+    frozen = frozen | newly
+    rank_img = jnp.where(frozen, -1, cand)
+
+    if th * tw > 1:  # criterion rounds across supertile boundaries
+        for _ in range(6):
+            rank_img, int_img = _felz_round(rank_img, int_img, w_planes,
+                                            s_top, global_slots, k,
+                                            tiles=False, mutual=True)
+    for _ in range(8):  # min_size absorption (graph backend post-pass)
+        rank_img, int_img = _felz_round(rank_img, int_img, w_planes, s_top,
+                                        global_slots, k, tiles=False,
+                                        absorb_min_size=min_size)
+
+    # ---- labels: smallest pixel index per global slot ---------------------
+    pix = (ys * width + xs).astype(jnp.float32).reshape(1, -1)
+    ranks_t = rank_img.reshape(1, -1)
+    oh = jax.nn.one_hot(ranks_t, global_slots, dtype=jnp.float32)
+    mins = jnp.min(jnp.where(oh > 0, pix[..., None], float(n)), axis=1)
+    lab = _take_slots(mins, jnp.maximum(ranks_t, 0),
+                      global_slots).astype(jnp.int32)
+    labels = lab.reshape(height, width)
+    return jnp.where(frozen, final_gid, labels)

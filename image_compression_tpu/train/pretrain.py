@@ -37,12 +37,15 @@ class TargetDiskCache:
     extractor work on a 100k-image corpus). Files are written atomically
     (tmp + rename) so a killed run never leaves truncated entries."""
 
+    # bump when an extractor's output changes (v2: hierarchical felzenszwalb)
+    VERSION = 2
+
     def __init__(self, cache_dir, extractor: str, image_size: int):
         import hashlib
         import pathlib
         self.dir = pathlib.Path(cache_dir) / "targets"
         self.dir.mkdir(parents=True, exist_ok=True)
-        self._tag = f"{extractor}|{image_size}"
+        self._tag = f"{extractor}|{image_size}|v{self.VERSION}"
         self._hashlib = hashlib
 
     def _path(self, image_path):

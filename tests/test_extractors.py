@@ -149,3 +149,18 @@ def test_targets_shapes_and_masks(rng, target):
     assert (tn[..., 2][:, :, :-1] == 1).all()
     costs = compute_edge_costs(imgs, target)
     assert costs.shape == (2, 48, 48, 2)
+
+
+def test_felzenszwalb_hier_matches_pixel_space(rng):
+    """The hierarchical dense implementation and the pixel-space fallback
+    agree structurally (same criterion, different parallel order): high
+    boundary F1 and similar segment counts on a blocky image."""
+    img = blocky_image(rng, noise=2.0)
+    lab_h = np.asarray(felzenszwalb_labels(jnp.asarray(img), min_size=100,
+                                           hier=True))
+    lab_p = np.asarray(felzenszwalb_labels(jnp.asarray(img), min_size=100,
+                                           hier=False))
+    f1 = boundary_agreement(lab_h, lab_p)
+    assert f1 > 0.6, f1
+    n_h, n_p = len(np.unique(lab_h)), len(np.unique(lab_p))
+    assert abs(n_h - n_p) <= max(3, n_p), (n_h, n_p)
