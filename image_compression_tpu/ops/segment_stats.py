@@ -75,6 +75,49 @@ def segment_stats(labels_hw: jnp.ndarray, k_max: int) -> SegmentStats:
                         num_segments > k_max)
 
 
+@functools.partial(jax.jit, static_argnames=("slots",))
+def dense_ranks(labels_hw: jnp.ndarray, slots: int) -> jnp.ndarray:
+    """Per-pixel dense region rank for minlabel-contract labels (label =
+    smallest pixel index of its connected region): rank in [0, n_regions),
+    ascending label order, or -1 where the rank exceeds `slots` (callers
+    treat those regions as frozen). Same two-level representative counting
+    as segment_stats_minlabel, without the overflow clamp — for slot-space
+    algorithms over the region graph (e.g. ops/slic.py's absorption)."""
+    height, width = labels_hw.shape
+    n = height * width
+    labels_hw = labels_hw.astype(jnp.int32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    rep = labels_hw == ys * width + xs
+
+    row_counts = jnp.sum(rep.astype(jnp.int32), axis=1)
+    cum_rows = jnp.cumsum(row_counts)
+    row_start = cum_rows - row_counts
+    num_segments = cum_rows[-1]
+    row_cum = jnp.cumsum(rep.astype(jnp.int32), axis=1)
+
+    ks = jnp.arange(slots, dtype=jnp.int32)
+    row_k = jnp.sum((cum_rows[:, None] <= ks[None, :])
+                    .astype(jnp.int32), axis=0)
+    row_k_c = jnp.minimum(row_k, height - 1)
+    sel = row_cum[row_k_c]
+    tgt = ks - row_start[row_k_c]
+    x_k = jnp.sum((sel <= tgt[:, None]).astype(jnp.int32), axis=1)
+    label_of_slot = jnp.where(ks < num_segments, row_k * width + x_k, n)
+
+    ge = labels_hw[..., None] >= label_of_slot[None, None, :]
+    rank = jnp.sum(ge.astype(jnp.int32), axis=-1) - 1
+    # a label beyond the last slot's label has rank == slots - 1 here but
+    # really overflows; detect via equality with the slot's label
+    eq = jnp.einsum(
+        "hwk,k->hw",
+        (labels_hw[..., None] == label_of_slot[None, None, :])
+        .astype(jnp.bfloat16),
+        jnp.ones((slots,), jnp.bfloat16),
+        preferred_element_type=jnp.float32) > 0
+    return jnp.where(eq, rank, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("k_max",))
 def segment_stats_minlabel(labels_hw: jnp.ndarray, k_max: int) -> SegmentStats:
     """Sort-free segment stats for labels satisfying the multicut output

@@ -151,7 +151,126 @@ def slic_labels(image_f01: jnp.ndarray, region_size: int = 20,
 
     # connectivity: split stray fragments, absorb small ones
     min_size = max(1, (s * s) * 25 // 100)  # cv enforceLabelConnectivity default
-    return _absorb_small_components(labels, min_size)
+    return _absorb_small_components_dense(labels, min_size)
+
+
+def _despeckle(labels: jnp.ndarray, sweeps: int = 6) -> jnp.ndarray:
+    """Elementwise speckle absorption: a pixel with at most one same-label
+    8-neighbor belongs to a 1-2 px fragment (or a fragment tip) and adopts
+    an adjacent label; iterating erodes the thin stray fragments the SLIC
+    assignment leaves in noise. This keeps the fragment count the dense
+    absorption's slot cap can hold (noisy images produce thousands of
+    speckles, far beyond any static slot count)."""
+    height, width = labels.shape
+
+    def shifted(arr, dy, dx):
+        pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+        out = jnp.pad(arr, pad, constant_values=-1)
+        return out[max(0, dy):max(0, dy) + height,
+                   max(0, dx):max(0, dx) + width]
+
+    dirs8 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+             if (dy, dx) != (0, 0)]
+    adopt_from = [(0, 1), (1, 0), (0, -1), (-1, 0)]
+
+    def sweep(i, lab):
+        same = jnp.zeros_like(lab)
+        for dy, dx in dirs8:
+            same = same + (shifted(lab, dy, dx) == lab).astype(jnp.int32)
+        speckle = same <= 1
+        out = lab
+        for k in range(4):
+            nb = shifted(lab, *adopt_from[(k + i) % 4])
+            out = jnp.where(speckle & (out == lab) & (nb >= 0), nb, out)
+        return out
+
+    lab = labels
+    for i in range(sweeps):  # unrolled: direction rotation is static
+        lab = sweep(i, lab)
+    return lab
+
+
+@functools.partial(jax.jit, static_argnames=("min_size", "slots", "rounds"))
+def _absorb_small_components_dense(labels: jnp.ndarray, min_size: int,
+                                   slots: int = 768,
+                                   rounds: int = 4) -> jnp.ndarray:
+    """Slot-space version of _absorb_small_components: components get dense
+    ranks (ops/segment_stats.py::dense_ranks) and every absorption round runs
+    as [n, slots] compare-reduces + slot-space one-hot matmuls — no
+    per-element scatters, no n-segment reductions, no pointer-jump gathers
+    (the while_loop version spent ~45 ms/img in those at 256px; this runs in
+    a few ms). Components ranked beyond `slots` (pathological fragment
+    counts) keep their labels unabsorbed; the pixel-space version remains
+    for correctness comparisons in tests."""
+    from image_compression_tpu.ops.segment_stats import dense_ranks
+
+    height, width = labels.shape
+    n = height * width
+    root = relabel_connected(_despeckle(labels))
+    rank = dense_ranks(root, slots)                       # [H, W], -1 frozen
+    sid = jnp.arange(slots, dtype=jnp.int32)
+
+    def shifted(arr, dy, dx):
+        pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+        out = jnp.pad(arr, pad, constant_values=-1)
+        return out[max(0, dy):max(0, dy) + height,
+                   max(0, dx):max(0, dx) + width]
+
+    def take(vec_s, idx_hw):
+        # vec_s [S] f32-exact -> per-pixel values at idx (0 where idx < 0);
+        # f32 one-hots: component sizes exceed bf16's exact-integer range
+        oh = jax.nn.one_hot(idx_hw, slots, dtype=jnp.float32)
+        return jnp.einsum("hws,s->hw", oh, vec_s,
+                          preferred_element_type=jnp.float32)
+
+    def body(_, rank):
+        oh = jax.nn.one_hot(rank, slots, dtype=jnp.bfloat16)   # [H, W, S]
+        size = jnp.sum(oh, axis=(0, 1), dtype=jnp.float32)     # [S]
+        small = (size > 0) & (size < float(min_size))
+
+        nb_best = jnp.full((slots,), -1.0)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            p = shifted(rank, dy, dx)
+            psize = jnp.where((p >= 0) & (p != rank), take(size, p), -1.0)
+            nb_best = jnp.maximum(
+                nb_best, jnp.max(jnp.where(oh > 0, psize[..., None], -1.0),
+                                 axis=(0, 1)))
+        tgt = jnp.full((slots,), slots, jnp.int32)
+        nb_best_px = take(nb_best, rank)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            p = shifted(rank, dy, dx)
+            cand = jnp.where((p >= 0) & (p != rank)
+                             & (take(size, p) == nb_best_px),
+                             p, slots)
+            tgt = jnp.minimum(
+                tgt, jnp.min(jnp.where(oh > 0, cand[..., None], slots),
+                             axis=(0, 1)))
+
+        has = small & (tgt < slots) & (nb_best >= 0)
+        tgt_safe = jnp.where(has, tgt, sid)
+        t_size = jnp.sum(jax.nn.one_hot(tgt_safe, slots, dtype=jnp.float32)
+                         * size[None, :], axis=1)
+        # absorb into larger (or equal-size smaller-rank) only: terminates
+        ok = has & ((t_size > size) | ((t_size == size) & (tgt_safe < sid)))
+        nxt = jnp.where(ok, tgt_safe, sid)
+        nxt_f = nxt.astype(jnp.float32)
+        for _ in range(2):  # compose short absorption chains
+            oh_n = jax.nn.one_hot(nxt_f.astype(jnp.int32), slots,
+                                  dtype=jnp.float32)
+            nxt_f = oh_n @ nxt_f
+        return jnp.where(rank < 0, -1,
+                         take(nxt_f, rank).astype(jnp.int32))
+
+    rank = jax.lax.fori_loop(0, rounds, body, rank)
+
+    # labels: smallest pixel index per slot; frozen (overflow) keep theirs
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    pix = (ys * width + xs).astype(jnp.float32)
+    oh = jax.nn.one_hot(rank, slots, dtype=jnp.float32)
+    mins = jnp.min(jnp.where(oh > 0, pix[..., None], float(n)), axis=(0, 1))
+    lab = take(mins, rank).astype(jnp.int32)
+    return jnp.where(rank < 0, root, lab)
 
 
 @functools.partial(jax.jit, static_argnames=("min_size", "max_rounds"))
@@ -165,16 +284,19 @@ def _absorb_small_components(labels: jnp.ndarray, min_size: int,
     root = relabel_connected(labels).reshape(-1)
 
     flat_ids = jnp.arange(n, dtype=jnp.int32)
-    right = jnp.where((flat_ids % width) + 1 < width, flat_ids + 1, flat_ids)
-    down = jnp.where(flat_ids // width + 1 < height, flat_ids + width, flat_ids)
 
     def body(state):
         root, _changed, it = state
         size = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), root,
                                    num_segments=n)
+        root2d = root.reshape(height, width)
+        r_right = jnp.concatenate([root2d[:, 1:], root2d[:, -1:]],
+                                  axis=1).reshape(-1)
+        r_down = jnp.concatenate([root2d[1:, :], root2d[-1:, :]],
+                                 axis=0).reshape(-1)
 
-        def boundary_entries(a, b):
-            ra, rb = root[a], root[b]
+        def boundary_entries(ra, rb):
+            # neighbor roots come from plane shifts, not root[index] gathers
             diff = ra != rb
             small_a = diff & (size[ra] < min_size)
             small_b = diff & (size[rb] < min_size)
@@ -184,8 +306,8 @@ def _absorb_small_components(labels: jnp.ndarray, min_size: int,
                                     jnp.where(small_b, ra, n)])
             return keys, vals
 
-        k1, v1 = boundary_entries(flat_ids, right)
-        k2, v2 = boundary_entries(flat_ids, down)
+        k1, v1 = boundary_entries(root, r_right)
+        k2, v2 = boundary_entries(root, r_down)
         keys = jnp.concatenate([k1, k2])
         vals = jnp.concatenate([v1, v2])
         # adopt the LARGEST adjacent component (min id among ties); a min-id
@@ -209,7 +331,11 @@ def _absorb_small_components(labels: jnp.ndarray, min_size: int,
         # size ordering above makes the mapping acyclic, and chains follow
         # adjacency so merged label classes stay connected. Without this,
         # X's pixels would carry a label whose home component moved away.
-        for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+        # Depth cap 8: each composition is a serialized 1-element-row gather
+        # on TPU (a full log2(n) ladder cost ~70 ms/img); small-fragment
+        # absorption chains are almost always short, and deeper residue
+        # resolves in the next while_loop round.
+        for _ in range(3):
             mapped = mapped[mapped]
         new_root = mapped[root]
         return new_root, jnp.any(new_root != root), it + 1
