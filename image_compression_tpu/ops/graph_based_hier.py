@@ -13,9 +13,10 @@ lookups are slot-space one-hot matmuls, and the per-region state (component
 size and internal difference Int) is carried as PIXEL MAPS so level
 transitions stay elementwise. Supertile sides double per level
 (8 -> 16 -> ...); a final GLOBAL stage (the whole image as one tile) runs
-the remaining criterion rounds plus the reference backend's min_size
-absorption post-pass (graph_based_edge.cpp:44-94 semantics, parallel
-schedule). Slot-cap overflow freezes regions exactly like multicut_hier
+the remaining criterion rounds plus the min_size absorption post-pass of
+the OpenCV backend the reference calls (cv::ximgproc createGraphSegmentation
+merge/min_size pass, invoked from graph_based_edge.cpp:55-57; parallel
+schedule here). Slot-cap overflow freezes regions exactly like multicut_hier
 (counted; caps sized so real images never freeze).
 
 Same documented divergence as the pixel-space version: the merge ORDER is

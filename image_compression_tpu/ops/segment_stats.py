@@ -138,6 +138,12 @@ def segment_stats_minlabel(labels_hw: jnp.ndarray, k_max: int) -> SegmentStats:
     ([H, k_max] / [W, k_max]) whose min/max over the short axis yields the
     boxes. Output-identical to segment_stats for conforming labels
     (tests/test_segment_stats.py cross-checks)."""
+    if k_max > 256:
+        # the compact-id einsum below carries slot indices in bf16, which is
+        # integer-exact only through 256; larger k_max would silently corrupt
+        # inverse ids
+        raise ValueError(f"segment_stats_minlabel requires k_max <= 256, "
+                         f"got {k_max}")
     height, width = labels_hw.shape
     n = height * width
     labels_hw = labels_hw.astype(jnp.int32)

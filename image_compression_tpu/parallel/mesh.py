@@ -61,12 +61,25 @@ def initialize_distributed(coordinator_address: str | None = None,
     import jax
 
     if coordinator_address is None and num_processes is None:
-        from jax._src.clusters import ClusterEnv
+        # Probe for a cluster environment via jax's private detector (public
+        # jax.distributed.initialize() RAISES with no cluster env, and we
+        # want a clean single-host no-op instead). The private signature is
+        # version-fragile, so any probe failure falls through to attempting
+        # the public init — which still fails loudly only when a cluster env
+        # exists but is misconfigured.
+        try:
+            from jax._src.clusters import ClusterEnv
 
-        detected = ClusterEnv.auto_detect_unset_distributed_params(
-            None, None, None, None, None, None)
-        if detected[0] is None:
-            return  # no cluster environment: single host, nothing to wire
+            detected = ClusterEnv.auto_detect_unset_distributed_params(
+                None, None, None, None, None, None)
+            if detected[0] is None:
+                return  # no cluster environment: single host, nothing to wire
+        except Exception:
+            try:
+                jax.distributed.initialize()
+            except RuntimeError:
+                return  # no cluster environment detectable: single host
+            return
         jax.distributed.initialize()  # env-driven (TPU pods)
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,

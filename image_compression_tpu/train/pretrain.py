@@ -61,8 +61,11 @@ class TargetDiskCache:
             return None
 
     def store(self, image_path, bits: np.ndarray) -> None:
+        import os
         p = self._path(image_path)
-        tmp = p.with_suffix(".tmp")
+        # per-writer tmp name: concurrent multi-host writers must not
+        # interleave into one tmp file before the atomic rename
+        tmp = p.with_suffix(f".{os.getpid()}.tmp")
         bits.tofile(tmp)
         tmp.replace(p)
 
