@@ -5,6 +5,13 @@ segmentation + segment stats + PNG-size estimation on device, plus host
 slice-PNG encoding and writing (the per-image work of compress.cpp:93-153
 including write_slices at :147) — in images/sec on batched 256x256 inputs.
 
+The headline workload runs the TRAINED round-2 checkpoint
+(artifacts/fcn_pretrained_r2_best_params), matching how the reference
+compresses (compress.cpp:102 loads its trained checkpoint); a random-init
+row is kept as a segment-heavy stress case, and the device pipeline is
+reported at batch 32 and 128 (the relay's 17-34 ms/program dispatch floor
+is ~1 ms/img at batch 32, a quarter of that at 128 — CLAUDE.md).
+
 Device and host run overlapped (device batch i+1 is dispatched while the host
 slices batch i), which is how a production pipeline composes them; the
 reference serializes the two. Labels travel device->host as uint16 (the
@@ -14,8 +21,9 @@ RAM-backed directory (/dev/shm); BENCHMARKS.md reports the ext4 figure too.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
 vs_baseline is against the 500 img/s/chip v5e target from BASELINE.md (the
-reference publishes no numbers). Supplementary keys report the device-only
-rate and the host slice cost.
+reference publishes no numbers). Supplementary keys report per-batch-size
+device rates, the random-weights stress rates, slices/img for both
+workloads, and the host slice cost.
 """
 
 import json
@@ -26,6 +34,9 @@ import tempfile
 import time
 
 import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+CKPT = REPO / "artifacts" / "fcn_pretrained_r2_best_params"
 
 
 def make_images(batch, size, seed=0):
@@ -50,14 +61,20 @@ def main():
     from image_compression_tpu.ops.png_estimator import \
         estimate_segment_png_sizes_fast
     from image_compression_tpu.ops.segment_stats import segment_stats_minlabel
+    from image_compression_tpu.train.checkpoint import load_params
 
-    batch, size = 32, 256
+    size = 256
     model = EdgeUNet()
-    images_np = make_images(batch, size)
-    images_u8 = (images_np * 255).astype(np.uint8)
-    images = jnp.asarray(images_np, jnp.float32)
 
-    params = model.init(jax.random.PRNGKey(0), images[:1])
+    params_random = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 3), jnp.float32))
+    if CKPT.exists():
+        params_trained = load_params(CKPT, template=params_random)
+        trained_available = True
+    else:                                       # fresh clone without artifacts
+        params_trained = params_random
+        trained_available = False
 
     # Two XLA programs chained on device, not one: with the U-Net's convs
     # and the estimator in a single program, XLA's layout assignment ran the
@@ -95,67 +112,92 @@ def main():
         labels_u16, _counts, sizes = step_out
         return np.asarray(labels_u16).astype(np.int64), float(jnp.sum(sizes))
 
-    def host_slice(labels_np, out_root, tag):
-        for i in range(batch):
-            write_slices(images_u8[i], labels_np[i], out_root, f"{tag}_{i}")
+    def device_rate(params, images_dev, batch, n_iters=5):
+        """Steady-state device-pipeline rate: one full throwaway timing
+        round first (the relay runs the first ~5 executions of a program
+        10-50x slower than steady state, CLAUDE.md), then measure."""
+        def round_():
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for i in range(n_iters):
+                _l, counts, sizes = compress_step(
+                    params, images_dev + 0.0001 * i)
+                acc = acc + (jnp.sum(counts).astype(jnp.float32)
+                             + jnp.sum(sizes))
+            float(acc)
+            return (time.perf_counter() - t0) / n_iters
+
+        round_()                         # steady-state warm-up round
+        return batch / round_()
 
     staging = pathlib.Path("/dev/shm" if os.path.isdir("/dev/shm")
                            else tempfile.gettempdir()) / "bench_slices"
     shutil.rmtree(staging, ignore_errors=True)
     staging.mkdir(parents=True)
 
-    # warmup/compile + full sync via scalar fetch (block_until_ready does not
-    # reliably drain the queue on every backend; a host fetch depending on
-    # the outputs does). The relay runs the FIRST ~5 executions of a program
-    # 10-50x slower than steady state (CLAUDE.md), so warm with a full
-    # throwaway round before timing.
-    labels_np, _ = fetch(compress_step(params, images))
-    host_slice(labels_np, staging, "warm")
+    results = {}
+    slices_per_img = {}
+    labels_by_workload = {}
+    batch_head = 128
+    images_head_np = make_images(batch_head, size)
+    images_head_u8 = (images_head_np * 255).astype(np.uint8)
+    images_head = jnp.asarray(images_head_np, jnp.float32)
+    images_32 = images_head[:32]
 
-    n_iters = 5
+    for name, params in (("trained", params_trained),
+                         ("random_weights", params_random)):
+        # warmup/compile + full sync via scalar fetch (block_until_ready
+        # does not reliably drain the queue on this backend; a host fetch
+        # depending on the outputs does)
+        labels_np, _ = fetch(compress_step(params, images_head))
+        labels_by_workload[name] = labels_np
+        slices_per_img[name] = float(np.mean(
+            [len(np.unique(l)) for l in labels_np]))
+        results[f"device_b128_{name}"] = device_rate(
+            params, images_head, batch_head)
+        results[f"device_b32_{name}"] = device_rate(params, images_32, 32)
 
-    def device_round():
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for i in range(n_iters):
-            _lab, counts, sizes = compress_step(params, images + 0.0001 * i)
-            acc = acc + jnp.sum(counts).astype(jnp.float32) + jnp.sum(sizes)
-        float(acc)
-        return (time.perf_counter() - t0) / n_iters
-
-    device_round()                      # steady-state warm-up round
-    dt_device = device_round()
-    device_rate = batch / dt_device
-
-    # host slice cost (per image, RAM-backed staging)
+    # host slice cost (per image, RAM-backed staging), trained workload
+    labels_np = labels_by_workload["trained"]
     t0 = time.perf_counter()
-    host_slice(labels_np, staging, "host")
-    host_ms_per_img = (time.perf_counter() - t0) / batch * 1000
+    for i in range(batch_head):
+        write_slices(images_head_u8[i], labels_np[i], staging, f"host_{i}")
+    host_ms_per_img = (time.perf_counter() - t0) / batch_head * 1000
 
     # full pipeline, overlapped: dispatch batch i+1, then slice batch i
-    # while the device works
-    def full_round():
+    # while the device works — trained checkpoint, headline batch
+    def full_round(n_iters=5):
         t0 = time.perf_counter()
-        pending = compress_step(params, images)
+        pending = compress_step(params_trained, images_head)
         for i in range(n_iters):
-            nxt = compress_step(params, images + 0.0001 * i)
+            nxt = compress_step(params_trained, images_head + 0.0001 * i)
             labels_np, _ = fetch(pending)  # waits for batch i only
-            host_slice(labels_np, staging, f"it{i}")
+            for b in range(batch_head):
+                write_slices(images_head_u8[b], labels_np[b], staging,
+                             f"it{i}_{b}")
             pending = nxt
         fetch(pending)
         return (time.perf_counter() - t0) / (n_iters + 1)
 
     full_round()                        # steady-state warm-up round
-    dt_full = full_round()
-    full_rate = batch / dt_full
+    full_rate = batch_head / full_round()
 
     shutil.rmtree(staging, ignore_errors=True)
     print(json.dumps({
-        "metric": "compress_e2e_images_per_sec_256px",
+        "metric": "compress_e2e_images_per_sec_256px_trained",
         "value": round(full_rate, 2),
         "unit": "images/sec",
         "vs_baseline": round(full_rate / 500.0, 4),
-        "device_pipeline_images_per_sec": round(device_rate, 2),
+        "trained_checkpoint": trained_available,
+        "device_pipeline_images_per_sec": round(
+            results["device_b128_trained"], 2),
+        "device_b32_trained": round(results["device_b32_trained"], 2),
+        "device_b128_random": round(
+            results["device_b128_random_weights"], 2),
+        "device_b32_random": round(results["device_b32_random_weights"], 2),
+        "slices_per_img_trained": round(slices_per_img["trained"], 1),
+        "slices_per_img_random": round(
+            slices_per_img["random_weights"], 1),
         "host_slice_ms_per_img": round(host_ms_per_img, 2),
     }))
 

@@ -1,0 +1,147 @@
+"""Achieved compression: real on-disk bytes of compress output vs originals.
+
+The product's purpose is smaller bytes — the reference's reward is
+R = (size_img - sum est) / size_img (compute_rewards.cu:182-192) — so this
+benchmark reports the ACHIEVED ratio, not the estimated one: it compresses
+>= N corpus images with both the classical-Canny path and the learned
+checkpoint, sums every output byte (slice PNGs + metadata.bin), and compares
+to the originals' on-disk bytes. The device estimator's predicted total is
+printed next to the real one as a calibration check.
+
+Expected outcome (documented in the reference's readme.md:52-53 and
+reproduced here): the slice decomposition EXPANDS natural images — per-slice
+container overhead and broken filter contexts outweigh any win — which is
+exactly why the RL stage exists and why its reward stays negative. This
+benchmark is the honest statement of that number.
+
+Usage:
+  PYTHONPATH=.:/root/.axon_site python benchmarks/bench_compression.py \
+      [--dir datasets/val] [--images 128] [--batch 32] [--k-max 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import shutil
+import tempfile
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+CKPT = REPO / "artifacts" / "fcn_pretrained_r2_best_params"
+
+
+def dir_bytes(d: pathlib.Path) -> int:
+    return sum(p.stat().st_size for p in d.rglob("*") if p.is_file())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default=str(REPO / "datasets" / "val"))
+    ap.add_argument("--images", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k-max", type=int, default=256)
+    ap.add_argument("--ckpt", default=str(CKPT))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_compression_tpu.config import EdgeTarget
+    from image_compression_tpu.io.image_io import (
+        find_image_files_recursively, load_image, to_float01_rgb)
+    from image_compression_tpu.io.slicer import write_slices
+    from image_compression_tpu.models.unet import EdgeUNet
+    from image_compression_tpu.ops.png_estimator import \
+        estimate_segment_png_sizes_fast
+    from image_compression_tpu.ops.rewards import to_rgba_u8
+    from image_compression_tpu.ops.segment_stats import segment_stats
+    from image_compression_tpu.pipeline import (classical_costs_signed,
+                                                learned_costs, segment_batch)
+    from image_compression_tpu.train.checkpoint import load_params
+
+    paths = find_image_files_recursively(args.dir, "png")[:args.images]
+    if not paths:
+        raise SystemExit(f"no PNGs under {args.dir}")
+    images_u8 = [np.asarray(load_image(p)) for p in paths]
+    orig_bytes = [p.stat().st_size for p in paths]
+    n_px = [im.shape[0] * im.shape[1] for im in images_u8]
+
+    model = EdgeUNet()
+    ckpt = pathlib.Path(args.ckpt)
+    params = None
+    if ckpt.exists():
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 256, 256, 3), jnp.float32))
+        params = load_params(ckpt, template=template)
+
+    k_max = args.k_max
+
+    @jax.jit
+    def predict_totals(images_f01, labels):
+        """Estimator's predicted per-image output bytes (slices only; the
+        estimator does not model metadata.bin), same surplus lower bound as
+        the reward (ops/rewards.py)."""
+        def one(img, lab):
+            stats = segment_stats(lab, k_max)
+            est = estimate_segment_png_sizes_fast(
+                img, stats.inverse, stats.counts, stats.bboxes, stats.valid)
+            surplus = jnp.maximum(stats.num_segments - k_max, 0)
+            return est.sum() + surplus * (9.308622 + 1.0), stats.num_segments
+        return jax.vmap(one)(to_rgba_u8(images_f01), labels)
+
+    modes = [("classical_canny",
+              lambda b: classical_costs_signed(b, EdgeTarget.CANNY))]
+    if params is not None:
+        modes.append(("learned_ckpt",
+                      lambda b: learned_costs(model, params, b)))
+
+    report = {}
+    for name, cost_fn in modes:
+        out_root = pathlib.Path(tempfile.mkdtemp(prefix=f"benchcomp_{name}_"))
+        out_bytes = meta_bytes = 0
+        predicted = 0.0
+        n_slices = []
+        for i in range(0, len(images_u8), args.batch):
+            chunk = images_u8[i:i + args.batch]
+            batch = jnp.asarray(np.stack([to_float01_rgb(im)
+                                          for im in chunk]))
+            labels = segment_batch(cost_fn(batch))
+            est, _k = predict_totals(batch, labels)
+            predicted += float(jnp.sum(est))
+            labels = np.asarray(labels)
+            for j, (img, lab) in enumerate(zip(chunk, labels)):
+                tag = f"img_{i + j}"
+                write_slices(img, lab.astype(np.int64), out_root, tag)
+                d = out_root / tag
+                out_bytes += dir_bytes(d)
+                meta_bytes += (d / "metadata.bin").stat().st_size
+                n_slices.append(
+                    sum(1 for _ in d.glob("slice_*.png")))
+        shutil.rmtree(out_root, ignore_errors=True)
+
+        total_orig = sum(orig_bytes)
+        total_px = sum(n_px)
+        report[name] = {
+            "images": len(images_u8),
+            "orig_bytes": total_orig,
+            "out_bytes": out_bytes,
+            "metadata_bytes": meta_bytes,
+            "ratio_out_over_orig": round(out_bytes / total_orig, 4),
+            "bpp_orig": round(8 * total_orig / total_px, 3),
+            "bpp_out": round(8 * out_bytes / total_px, 3),
+            "predicted_slice_bytes": round(predicted),
+            "predicted_ratio": round(predicted / total_orig, 4),
+            "estimator_calibration_pred_over_real": round(
+                predicted / max(out_bytes - meta_bytes, 1), 4),
+            "slices_per_img": round(float(np.mean(n_slices)), 1),
+        }
+        print(json.dumps({"mode": name, **report[name]}), flush=True)
+
+    print(json.dumps({"metric": "achieved_compression", **report}))
+
+
+if __name__ == "__main__":
+    main()
