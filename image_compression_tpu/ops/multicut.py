@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_compression_tpu.ops.multicut_hier import (
-    globalize, hier_gaec, plan_levels, smallest_pixel_labels)
+    globalize, hier_gaec, lean_caps, plan_levels, smallest_pixel_labels)
 from image_compression_tpu.ops.multicut_tiles import (
     boundary_edges, tile_presolve)
 
@@ -231,13 +231,16 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
                    static_argnames=("max_rounds", "mode", "icm_sweeps",
                                     "matchings_per_round", "tile",
                                     "presolve_rounds", "boundary_rounds",
-                                    "return_rounds", "hier"))
+                                    "return_rounds", "hier",
+                                    "hier_rounds", "hier_caps"))
 def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                   mode: str = "chain", icm_sweeps: int = 8,
                   matchings_per_round: int = 4, tile: int = 16,
                   presolve_rounds: int = 4, boundary_rounds: int = 4,
                   return_rounds: bool = False,
-                  hier: bool = True) -> jnp.ndarray:
+                  hier: bool = True,
+                  hier_rounds: tuple[int, ...] | None = None,
+                  hier_caps: tuple[int, ...] | str | None = None) -> jnp.ndarray:
     """Solve multicut on the 4-connected grid.
 
     Multilevel greedy additive edge contraction (GAEC), the TPU mapping of
@@ -267,9 +270,15 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
         "hybrid":      chain for the first round of each phase, then
                        random_mate.
       icm_sweeps: local-move refinement sweeps after contraction (0 = off).
+        With 0 sweeps the connectivity-restoring relabel is also skipped:
+        GAEC merges only along graph edges, so its clusters are connected by
+        construction — only ICM's single-pixel moves can disconnect one.
       matchings_per_round: matching passes per cost re-aggregation.
       tile: presolve tile size (0 disables; must divide H and W).
       presolve_rounds / boundary_rounds: static bounds for phases 1 / 2.
+      hier_rounds / hier_caps: per-level round counts and slot caps for the
+        dense hierarchy (hier_caps may be a `lean_caps` preset name); None
+        uses the tuned defaults in ops/multicut_hier.py.
 
     Returns:
       labels: [H, W] int32; cluster id = smallest pixel index in the cluster.
@@ -315,7 +324,8 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                             matchings_per_round=matchings_per_round,
                             tile=tile, presolve_rounds=presolve_rounds,
                             boundary_rounds=boundary_rounds,
-                            return_rounds=return_rounds, hier=True)
+                            return_rounds=return_rounds, hier=True,
+                            hier_rounds=hier_rounds, hier_caps=hier_caps)
         if return_rounds:
             labels_p, rounds = out
         else:
@@ -327,7 +337,10 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
 
     hier_sides = plan_levels(height, width, 8) if hier else []
     if len(hier_sides) >= 2 and mode in ("chain", "random_mate"):
-        res = hier_gaec(costs_f32, mode=mode)
+        caps = (lean_caps(hier_sides, hier_caps)
+                if isinstance(hier_caps, str) else hier_caps)
+        res = hier_gaec(costs_f32, mode=mode, rounds_per_level=hier_rounds,
+                        caps=caps)
         labels = smallest_pixel_labels(res)
         rounds = jnp.asarray(0)
         if res.top_tile != height or res.top_tile != width:

@@ -211,20 +211,46 @@ def default_caps(sides: Sequence[int]) -> list[int]:
     return caps
 
 
+def lean_caps(sides: Sequence[int], kind: str = "half") -> list[int]:
+    """Tighter slot-cap schedules than `default_caps`, trading freeze risk
+    for HBM traffic (the one-hot pair matmuls scale with S^2). Profiled on
+    the bench workload (benchmarks/profile_hier.py): "half" cuts the hier
+    solve ~35% at +0.002% objective, "flat64" ~46% at +0.006%; the cycle-
+    packing certificate (multicut_upper_bound) still bounds the total gap."""
+    base = default_caps(sides)
+    if kind == "half":
+        return [c if i == 0 else max(32, c // 2) for i, c in enumerate(base)]
+    if kind == "flat64":
+        return [c if i == 0 else min(c, 64) for i, c in enumerate(base)]
+    raise ValueError(f"unknown caps kind: {kind}")
+
+
 def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
               rounds_per_level: Sequence[int] | None = None,
-              caps: Sequence[int] | None = None) -> HierResult:
+              caps: Sequence[int] | None = None,
+              start_level: int = 0,
+              init_state: tuple | None = None) -> HierResult:
     """Run the dense hierarchy over all divisible levels.
 
     Returns per-pixel region ranks within the top-level supertile plus the
     static top-tile geometry so callers can globalize ids (see
     ops/multicut.py::multicut_grid, which finishes with sorted rounds only if
     the top tile is smaller than the image).
+
+    start_level/init_state resume the hierarchy mid-way (the spatially
+    sharded path, parallel/spatial.py: strips run levels that fit their
+    height locally, then the gathered state continues here). init_state is
+    (rank_img, ncand, frozen, final_gid, overflow) exactly as the loop
+    carries them after finishing level start_level - 1; sides/caps/rounds
+    must be the FULL image's plan so the resumed levels merge identically
+    to an unsharded run.
     """
     height, width = costs_hw2.shape[:2]
     sides = plan_levels(height, width, base)
     if not sides:
         raise ValueError(f"image {height}x{width} not divisible by {base}")
+    if (start_level > 0) != (init_state is not None):
+        raise ValueError("start_level and init_state go together")
     if caps is None:
         caps = default_caps(sides)
     if rounds_per_level is None:
@@ -237,18 +263,25 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
             # random_mate's coin-gated merges convert fewer candidates per
             # round; the lean schedule loses planted-partition recovery
             rounds_per_level = [4, 3] + [2] * (len(sides) - 2)
+    elif len(rounds_per_level) < len(sides):  # pad short schedules: deeper
+        rounds_per_level = (list(rounds_per_level)  # levels repeat the last
+                            + [rounds_per_level[-1]]
+                            * (len(sides) - len(rounds_per_level)))
 
     costs_f32 = costs_hw2.astype(jnp.float32)
     n = height * width
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
 
-    overflow = jnp.int32(0)
-    frozen = jnp.zeros((height, width), bool)
-    final_gid = jnp.zeros((height, width), jnp.int32)
-    rank_img = None
-    ncand = None
-    for i, s in enumerate(sides):
+    if init_state is not None:
+        rank_img, ncand, frozen, final_gid, overflow = init_state
+    else:
+        overflow = jnp.int32(0)
+        frozen = jnp.zeros((height, width), bool)
+        final_gid = jnp.zeros((height, width), jnp.int32)
+        rank_img = None
+        ncand = None
+    for i, s in list(enumerate(sides))[start_level:]:
         slots = int(caps[i])
         if i == 0:
             rank_img = (ys % s) * s + (xs % s)

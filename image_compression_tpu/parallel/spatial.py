@@ -71,6 +71,82 @@ def halo_map(fn: Callable, mesh: Mesh, halo: int,
     return wrapped
 
 
+def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
+                          axis_name: str = "data",
+                          mode: str = "chain",
+                          rounds_per_level=None, caps=None) -> jnp.ndarray:
+    """Spatially sharded hierarchical multicut: one high-resolution image
+    solved across the mesh (SURVEY section 5's scale axis; beats the
+    reference's fixed-256 grid, training.cpp:85-91).
+
+    Key property that makes this exact with NO halo exchange: the dense
+    hierarchy (ops/multicut_hier.py) zeroes every edge crossing a supertile
+    boundary at levels whose side s divides the strip height, so for a
+    HEIGHT-sharded image all levels with s <= H/n_devices are strictly
+    strip-local — each device runs them on its own strip and merges
+    identically to the unsharded run. The remaining coarse levels (side >
+    strip height) then continue from the gathered state via hier_gaec's
+    start_level entry; their merges involve cross-strip regions and run on
+    the gathered (replicated) state. Per-device pixel-space work for the
+    local levels drops by n_devices; the coarse continuation is the same
+    O(H*W*S_top) as unsharded — the next lever there is child-pair-matrix
+    aggregation, not sharding.
+
+    Labels equal multicut_grid(costs, icm_sweeps=0)'s up to frozen-region
+    ids (slot-cap overflow gets strip-offset unique ids >= H*W*n_levels
+    instead of the unsharded numbering; freezing is rare by cap sizing and
+    never changes the partition of unfrozen pixels).
+
+    Requires: H divisible by n_devices, strip height divisible by 8, and a
+    hierarchy whose top tile covers the image (square power-of-two sizes).
+    """
+    from image_compression_tpu.ops.multicut_hier import (
+        default_caps, hier_gaec, lean_caps, plan_levels,
+        smallest_pixel_labels)
+
+    height, width = costs_hw2.shape[:2]
+    n_dev = mesh.shape[axis_name]
+    h_loc = height // n_dev
+    if height % n_dev or h_loc % 8:
+        raise ValueError(f"height {height} not shardable over {n_dev}")
+    sides = plan_levels(height, width, 8)
+    if not sides or sides[-1] != height or height != width:
+        raise ValueError("spatial multicut needs a hierarchy covering the "
+                         f"image; got sides={sides} for {height}x{width}")
+    if isinstance(caps, str):
+        caps = lean_caps(sides, caps)
+    caps_full = list(caps) if caps is not None else default_caps(sides)
+    n_local = len(plan_levels(h_loc, width, 8))  # strictly strip-local levels
+    rpl = list(rounds_per_level) if rounds_per_level is not None else None
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)))
+    def local_levels(costs_strip):
+        res = hier_gaec(costs_strip, mode=mode,
+                        rounds_per_level=rpl[:n_local] if rpl else None,
+                        caps=caps_full[:n_local])
+        # remap frozen ids into a per-strip range disjoint from pixel labels
+        # and from any id the coarse continuation can assign (< len(sides)*n)
+        strip = jax.lax.axis_index(axis_name)
+        span = (n_local + 1) * h_loc * width
+        gid = jnp.where(res.frozen,
+                        len(sides) * height * width + strip * span
+                        + res.final_gid, 0)
+        return res.rank_img, res.n_regions[None, :], res.frozen, gid
+
+    rank_img, ncand_2d, frozen, final_gid = local_levels(costs_hw2)
+    # gathered per-tile live counts, global row-major tile order: each strip
+    # contributed one [T_loc] row, strips stack along axis 0
+    ncand = ncand_2d.reshape(-1)
+    state = (rank_img, ncand, frozen, final_gid,
+             jnp.int32(0))  # overflow restarts; strips counted theirs
+    res = hier_gaec(costs_hw2, mode=mode, rounds_per_level=rpl, caps=caps_full,
+                    start_level=n_local, init_state=state)
+    return smallest_pixel_labels(res)
+
+
 def sharded_edge_costs(images_hw3: jnp.ndarray, mesh: Mesh, halo: int = 8,
                        axis_name: str = "data") -> jnp.ndarray:
     """Example spatially-sharded extractor: Canny edge costs over a

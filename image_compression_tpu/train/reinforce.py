@@ -22,7 +22,8 @@ from image_compression_tpu.train.metrics import MetricsLogger
 from image_compression_tpu.train.steps import (init_rl_state,
                                                make_rl_eval,
                                                make_rl_optimizer,
-                                               make_rl_step)
+                                               make_rl_step,
+                                               make_value_optimizer)
 
 
 def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
@@ -31,7 +32,16 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
     r = cfg.rl
     model = EdgeUNet()
     tx = make_rl_optimizer(cfg)
-    state = init_rl_state(pretrained_params, tx)
+    value_model = value_tx = None
+    value_params = ()
+    if r.baseline == "value":
+        from image_compression_tpu.models.value import ValueNet
+        value_model = ValueNet()
+        value_tx = make_value_optimizer(cfg)
+        value_params = value_model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32))
+    state = init_rl_state(pretrained_params, tx, value_params, value_tx)
 
     train_paths = find_image_files_recursively(cfg.dataset_dir,
                                                cfg.image_format)
@@ -51,7 +61,7 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
     if mesh is not None:
         state = replicate(mesh, state)
 
-    step_fn = make_rl_step(model, tx, cfg)
+    step_fn = make_rl_step(model, tx, cfg, value_model, value_tx)
     eval_fn = make_rl_eval(model, cfg)
     ckpt = CheckpointManager(cfg.results_dir, "fcn_training")
     metrics_log = MetricsLogger(cfg.results_dir, ckpt.run_id)
@@ -87,7 +97,10 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
                           "loss": float(aux["loss"]),
                           "reward_mean": float(aux["reward_mean"]),
                           "baseline": float(aux["baseline"]),
-                          "eval_reward_mean": eval_r}
+                          "eval_reward_mean": eval_r,
+                          "sampler": r.sampler, "rl_baseline": r.baseline}
+                if r.baseline == "value":
+                    record["value_loss"] = float(aux["value_loss"])
                 metrics_log.write(record)
                 log(f"epoch={epoch} step={batch_count} "
                     f"loss={record['loss']:.6f} "

@@ -34,9 +34,11 @@ from image_compression_tpu.ops.multicut import multicut_grid
 from image_compression_tpu.ops.rewards import compute_rewards_batched
 from image_compression_tpu.train.losses import pretrain_loss
 from image_compression_tpu.train.metrics import edge_metrics
-from image_compression_tpu.train.policy import (ema_baseline_update,
+from image_compression_tpu.train.policy import (antithetic_advantage,
+                                                ema_baseline_update,
                                                 gaussian_logp,
                                                 reinforce_loss,
+                                                sample_antithetic_policy,
                                                 sample_gaussian_policy,
                                                 whitened_advantage)
 
@@ -53,11 +55,20 @@ class RLState(NamedTuple):
     step: jnp.ndarray
     baseline: jnp.ndarray          # EMA of mean reward (ema_baseline.hpp)
     baseline_init: jnp.ndarray     # bool
+    # learned value baseline (cfg.rl.baseline == "value"); () when unused so
+    # the pytree stays orbax-serializable
+    value_params: Any = ()
+    value_opt_state: Any = ()
 
 
 def make_pretrain_optimizer(cfg: Config) -> optax.GradientTransformation:
     """AdamW(lr=1e-3, wd=1e-4) (pretraining.cpp:221-224)."""
     return optax.adamw(cfg.pretrain.lr, weight_decay=cfg.pretrain.weight_decay)
+
+
+def make_value_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Optimizer for the learned value baseline (cfg.rl.baseline="value")."""
+    return optax.adam(cfg.rl.value_lr)
 
 
 def make_rl_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -120,11 +131,27 @@ def _policy_forward(model, params, images, cfg: Config):
 
 
 def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
-                 cfg: Config):
-    """One REINFORCE step (training.cpp:140-192), fully on device."""
+                 cfg: Config, value_model=None,
+                 value_tx: optax.GradientTransformation | None = None):
+    """One REINFORCE step (training.cpp:140-192), fully on device.
+
+    cfg.rl.sampler/baseline select the variance-reduction variants (see
+    config.py): "antithetic" runs mirrored sample pairs through the solver
+    (2B solves, per-image reward variance cancels in the pair difference);
+    baseline="value" subtracts `value_model`'s per-image reward prediction
+    (trained jointly with `value_tx`) instead of the scalar EMA.
+    """
     r = cfg.rl
     mc = cfg.multicut
     rw = cfg.reward
+    antithetic = r.sampler == "antithetic"
+    use_value = r.baseline == "value"
+    if r.sampler not in ("single", "antithetic"):
+        raise ValueError(f"unknown rl.sampler: {r.sampler}")
+    if r.baseline not in ("ema", "value"):
+        raise ValueError(f"unknown rl.baseline: {r.baseline}")
+    if use_value and (value_model is None or value_tx is None):
+        raise ValueError("baseline='value' needs value_model and value_tx")
 
     def segment(costs_flat, height, width):
         planes = unflatten_edge_planes(costs_flat, height, width)
@@ -155,7 +182,13 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
         # program, so drivers pass a constant key (a host-side split/fold_in
         # costs a ~30 ms dispatch per step on the relay).
         key = jax.random.fold_in(key, step_idx)
-        w = sample_gaussian_policy(key, mu, sigma).w
+        if antithetic:
+            # [2B, E] mirrored pairs; reward every sample on its own image
+            w = sample_antithetic_policy(key, mu, sigma).w
+            images = jnp.concatenate([images, images], axis=0)
+            image_sizes = jnp.concatenate([image_sizes, image_sizes], axis=0)
+        else:
+            w = sample_gaussian_policy(key, mu, sigma).w
         labels = segment(w, height, width)
         # minlabel: multicut labels are smallest-pixel-index connected
         # regions, enabling the sort-free segment-stats path
@@ -171,25 +204,50 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
 
     @jax.jit
     def update_program(state: RLState, w, images, rewards):
+        # the EMA tracks mean reward in every mode (metric surface parity
+        # with training.cpp:196-204 even when it isn't the baseline)
         baseline, binit = ema_baseline_update(
             state.baseline, state.baseline_init, rewards,
             r.baseline_momentum)
-        adv = whitened_advantage(rewards, baseline)
+        value_params, value_opt = state.value_params, state.value_opt_state
+        vloss = jnp.float32(0)
+        if antithetic:
+            # any per-image baseline cancels in the pair difference, so the
+            # antithetic advantage subsumes both baseline modes
+            adv = antithetic_advantage(rewards)
+        elif use_value:
+            def vloss_fn(vp):
+                v = value_model.apply(vp, images)
+                return jnp.mean((v - rewards) ** 2), v
+
+            (vloss, v), vgrads = jax.value_and_grad(
+                vloss_fn, has_aux=True)(value_params)
+            vupd, value_opt = value_tx.update(vgrads, value_opt, value_params)
+            value_params = optax.apply_updates(value_params, vupd)
+            # advantage uses the PRE-update prediction (standard actor-critic
+            # ordering); stop_gradient: the policy must not shape V
+            adv = whitened_advantage(rewards, jax.lax.stop_gradient(v))
+        else:
+            adv = whitened_advantage(rewards, baseline)
 
         # The gradient is identical to differentiating through the sampled
         # forward: loss depends on params only through logp/entropy of the
         # FIXED sample w (training.cpp:183-186).
         def loss_fn(params):
             mu, sigma = _policy_forward(model, params, images, cfg)
+            if antithetic:
+                mu = jnp.concatenate([mu, mu], axis=0)
+                sigma = jnp.concatenate([sigma, sigma], axis=0)
             pol = gaussian_logp(w, mu, sigma)
             return reinforce_loss(adv, pol, mu.shape[-1], r.entropy_coef)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = RLState(params, opt_state, state.step + 1, baseline, binit)
+        new_state = RLState(params, opt_state, state.step + 1, baseline,
+                            binit, value_params, value_opt)
         aux = {"loss": loss, "reward_mean": rewards.mean(),
-               "baseline": baseline}
+               "baseline": baseline, "value_loss": vloss}
         return new_state, aux
 
     def step(state: RLState, key: jax.Array, images: jnp.ndarray,
@@ -243,6 +301,7 @@ def init_train_state(model: EdgeUNet, tx, key, sample_images) -> TrainState:
     return TrainState(params, tx.init(params), jnp.asarray(0))
 
 
-def init_rl_state(params, tx) -> RLState:
+def init_rl_state(params, tx, value_params=(), value_tx=None) -> RLState:
     return RLState(params, tx.init(params), jnp.asarray(0),
-                   jnp.asarray(0.0), jnp.asarray(False))
+                   jnp.asarray(0.0), jnp.asarray(False), value_params,
+                   value_tx.init(value_params) if value_tx is not None else ())

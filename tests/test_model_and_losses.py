@@ -147,3 +147,56 @@ def test_reinforce_loss_direction():
     s_lo = PolicySample(None, jnp.asarray([0.0, 0.0]), jnp.asarray([0.0, 0.0]))
     assert float(reinforce_loss(adv, s_hi, 4)) < float(
         reinforce_loss(adv, s_lo, 4))
+
+
+def test_antithetic_sampler_structure():
+    from image_compression_tpu.train.policy import (antithetic_advantage,
+                                                    sample_antithetic_policy)
+    key = jax.random.PRNGKey(2)
+    mu = jnp.asarray(np.linspace(-1, 1, 12).reshape(2, 6).astype(np.float32))
+    sigma = jnp.full((2, 6), 0.5, jnp.float32)
+    s = sample_antithetic_policy(key, mu, sigma)
+    assert s.w.shape == (4, 6)
+    # mirrored pairs: w+ + w- == 2*mu, and both halves share |deviation|
+    np.testing.assert_allclose(np.asarray(s.w[:2] + s.w[2:]),
+                               2 * np.asarray(mu), rtol=1e-5)
+    # logp of each half matches the plain density of that sample
+    half = sample_gaussian_policy(key, mu, sigma)  # same key -> same noise
+    np.testing.assert_allclose(np.asarray(s.logp[:2]),
+                               np.asarray(half.logp), rtol=1e-5)
+
+    adv = antithetic_advantage(jnp.asarray([3.0, 5.0, 1.0, 2.0]))
+    a = np.asarray(adv)
+    # antisymmetric pairs, zero mean, unit population std
+    np.testing.assert_allclose(a[:2], -a[2:], rtol=1e-6)
+    np.testing.assert_allclose(a.mean(), 0.0, atol=1e-6)
+    np.testing.assert_allclose(a.std(), 1.0, rtol=1e-5)
+
+
+def test_antithetic_gradient_unbiased_direction():
+    """The mirrored-sampling estimator must point the same way as the true
+    policy gradient on an analytic problem: r(w) = -(w - 2)^2, policy
+    N(mu=0, sigma=1) => d/dmu E[r] = 2*(2 - mu) = 4 > 0."""
+    from image_compression_tpu.train.policy import (antithetic_advantage,
+                                                    gaussian_logp,
+                                                    sample_antithetic_policy)
+    mu = jnp.zeros((64, 1))
+    sigma = jnp.ones((64, 1))
+
+    def surrogate(m):
+        # the sample and its advantage are FIXED data in the REINFORCE loss
+        # (drawn in a separate program, steps.py::solve_reward_program);
+        # without the stop_gradient the reparameterized z = (w - mu)/sigma
+        # is constant in mu and the score-function gradient vanishes
+        s = sample_antithetic_policy(jax.random.PRNGKey(0),
+                                     jax.lax.stop_gradient(m), sigma)
+        r = -(s.w[:, 0] - 2.0) ** 2
+        adv = antithetic_advantage(r)
+        pol = gaussian_logp(s.w, jnp.concatenate([m, m]),
+                            jnp.concatenate([sigma, sigma]))
+        return -(adv * pol.logp).mean()
+
+    g = jax.grad(surrogate)(mu)
+    # minimizing the surrogate must push mu toward 2 (positive gradient
+    # ascent direction => negative loss gradient)
+    assert float(g.mean()) < 0

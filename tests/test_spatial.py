@@ -40,3 +40,42 @@ def test_halo_map_identity(mesh, rng):
     ident = halo_map(lambda t: t, mesh, halo=1)
     xs = jax.device_put(x, NamedSharding(mesh, P("data")))
     np.testing.assert_array_equal(np.asarray(ident(xs)), np.asarray(x))
+
+
+def _smooth_costs(size, rng):
+    """Piecewise-smooth signed cost field (the bench workload's shape)."""
+    base = rng.normal(size=(size // 16 + 1, size // 16 + 1, 3))
+    img = np.kron(base, np.ones((16, 16, 1)))[:size, :size]
+    img += 0.1 * rng.normal(size=img.shape)
+    img = (img - img.min()) / (img.max() - img.min())
+    dh = np.abs(np.diff(img, axis=1, append=img[:, -1:])).sum(-1)
+    dv = np.abs(np.diff(img, axis=0, append=img[-1:, :])).sum(-1)
+    costs = np.stack([1.0 - 8.0 * dh, 1.0 - 8.0 * dv], axis=-1)
+    return np.clip(costs, -2, 2).astype(np.float32)
+
+
+def test_spatial_multicut_matches_single_device(mesh, rng):
+    """The strip-sharded hierarchical multicut must produce the unsharded
+    partition exactly (chain mode, no freezing on smooth costs): levels with
+    supertile side <= strip height are strictly strip-local because the
+    hierarchy zeroes supertile-crossing edges (VERDICT round-2 next #6)."""
+    from image_compression_tpu.ops.multicut import multicut_grid
+    from image_compression_tpu.parallel.spatial import multicut_grid_spatial
+
+    costs = jnp.asarray(_smooth_costs(256, rng))
+    expected = np.asarray(multicut_grid(costs, icm_sweeps=0))
+
+    cs = jax.device_put(costs, NamedSharding(mesh, P("data")))
+    got = np.asarray(multicut_grid_spatial(cs, mesh))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_spatial_multicut_trivial_invariants(mesh, rng):
+    """All-attractive costs -> one cluster; all-repulsive -> singletons."""
+    from image_compression_tpu.parallel.spatial import multicut_grid_spatial
+
+    ones = jnp.ones((64, 64, 2), jnp.float32)
+    lab = np.asarray(multicut_grid_spatial(ones, mesh))
+    assert len(np.unique(lab)) == 1
+    lab = np.asarray(multicut_grid_spatial(-ones, mesh))
+    assert len(np.unique(lab)) == 64 * 64
