@@ -20,7 +20,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=6)
+    ap.add_argument("--images", type=int, default=128)
     ap.add_argument("--dir", default="datasets/corpus")
     ap.add_argument("--checkpoint", help="learned costs instead of canny")
     args = ap.parse_args()
@@ -58,10 +58,12 @@ def main():
                                       icm_sweeps=cfg.multicut.icm_sweeps))
 
     total_native = total_cv2 = total_raw = n_slices = 0
+    per_image_ratio = []
     for img, lab in zip(imgs, labels):
         rgba = ensure_rgba(np.asarray(img))
         lab64 = lab.astype(np.int64)
         boxes = compute_bounding_boxes(lab64)
+        img_native = img_cv2 = 0
         for label, box in boxes.items():
             piece = slice_image(rgba, lab64, label, box)
             data = native.encode_png(piece, cfg.compression_level)
@@ -69,17 +71,23 @@ def main():
                 ".png", cv2.cvtColor(piece, cv2.COLOR_RGBA2BGRA),
                 [cv2.IMWRITE_PNG_COMPRESSION, cfg.compression_level])
             assert ok
-            total_native += len(data)
-            total_cv2 += len(buf)
+            img_native += len(data)
+            img_cv2 += len(buf)
             total_raw += piece.nbytes
             n_slices += 1
+        total_native += img_native
+        total_cv2 += img_cv2
+        per_image_ratio.append(img_native / max(img_cv2, 1))
 
     px = sum(im.shape[0] * im.shape[1] for im in imgs)
+    r = np.asarray(per_image_ratio)
     print(f"images={len(imgs)} slices={n_slices}")
     print(f"native  bytes={total_native}  bpp={8*total_native/px:.4f}")
     print(f"opencv  bytes={total_cv2}  bpp={8*total_cv2/px:.4f}")
     print(f"native/opencv ratio = {total_native/total_cv2:.4f} "
-          f"({(total_native/total_cv2-1)*100:+.2f}%)")
+          f"({(total_native/total_cv2-1)*100:+.2f}%)  per-image "
+          f"mean={r.mean():.4f} sd={r.std():.4f} "
+          f"min={r.min():.4f} max={r.max():.4f}")
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ import tempfile
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
-CKPT = REPO / "artifacts" / "fcn_pretrained_r2_best_params"
+CKPT = REPO / "artifacts" / "fcn_pretrained_r3_best_params"
 
 
 def dir_bytes(d: pathlib.Path) -> int:
@@ -49,7 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from image_compression_tpu.config import EdgeTarget
+    from image_compression_tpu.config import Config, EdgeTarget
     from image_compression_tpu.io.image_io import (
         find_image_files_recursively, load_image, to_float01_rgb)
     from image_compression_tpu.io.slicer import write_slices
@@ -108,7 +108,11 @@ def main():
             chunk = images_u8[i:i + args.batch]
             batch = jnp.asarray(np.stack([to_float01_rgb(im)
                                           for im in chunk]))
-            labels = segment_batch(cost_fn(batch))
+            mc = Config().multicut  # production solver profile
+            labels = segment_batch(cost_fn(batch), mode=mc.mode,
+                                   icm_sweeps=mc.icm_sweeps,
+                                   hier_rounds=tuple(mc.hier_rounds),
+                                   hier_caps=mc.hier_caps)
             est, _k = predict_totals(batch, labels)
             predicted += float(jnp.sum(est))
             labels = np.asarray(labels)

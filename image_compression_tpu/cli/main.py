@@ -69,7 +69,7 @@ def cmd_pretrain(args):
     cfg = _load_config(args)
     if args.epochs:
         cfg.pretrain.epochs = args.epochs
-    _state, run_id = run_pretraining(cfg)
+    _state, run_id = run_pretraining(cfg, resume=args.resume)
     print(f"pretraining done, run id {run_id}")
 
 
@@ -88,7 +88,7 @@ def cmd_train(args):
         restored = CheckpointManager.restore_path(args.checkpoint, None)
         params = restored["params"] if isinstance(restored, dict) else \
             TrainState(*restored).params
-    _state, run_id = run_reinforce(cfg, params)
+    _state, run_id = run_reinforce(cfg, params, resume=args.resume)
     print(f"training done, run id {run_id}")
 
 
@@ -118,12 +118,14 @@ def main(argv=None):
     p = sub.add_parser("pretrain", help="supervised phase (pretraining.cpp)")
     _add_config_arg(p)
     p.add_argument("--epochs", type=int)
+    p.add_argument("--resume", help="checkpoint path to continue from")
     p.set_defaults(fn=cmd_pretrain)
 
     p = sub.add_parser("train", help="REINFORCE phase (training.cpp)")
     _add_config_arg(p)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--epochs", type=int)
+    p.add_argument("--resume", help="RL checkpoint path to continue from")
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args(argv)

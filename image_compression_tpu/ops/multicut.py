@@ -290,6 +290,30 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
     costs_f32 = costs_hw2.astype(jnp.float32)
     w_all = costs_f32.reshape(-1)
 
+    # --- tiny-grid ensemble ------------------------------------------------
+    # Grids too small for the dense hierarchy fall through to the sorted
+    # path, where chain hooking's overshoot is worst on adversarial tiny
+    # instances. At this size a second solve is nearly free: run random_mate
+    # too and keep the better objective (cuts the summed brute-force gap
+    # ~2x, tests/test_multicut.py::test_near_optimal_vs_brute_force).
+    if (hier and mode == "chain" and not return_rounds
+            and min(height, width) < 16):
+        kw = dict(max_rounds=max_rounds, icm_sweeps=icm_sweeps,
+                  matchings_per_round=matchings_per_round, tile=tile,
+                  presolve_rounds=presolve_rounds,
+                  boundary_rounds=boundary_rounds, hier=False)
+        lab_c = multicut_grid(costs_f32, mode="chain", **kw)
+        lab_r = multicut_grid(costs_f32, mode="random_mate", **kw)
+
+        def joined(lab):
+            h_sum = jnp.sum(jnp.where(lab[:, 1:] == lab[:, :-1],
+                                      costs_f32[:, :-1, 0], 0.0))
+            v_sum = jnp.sum(jnp.where(lab[1:, :] == lab[:-1, :],
+                                      costs_f32[:-1, :, 1], 0.0))
+            return h_sum + v_sum
+
+        return jnp.where(joined(lab_c) >= joined(lab_r), lab_c, lab_r)
+
     # --- sort-free hierarchical dense path (ops/multicut_hier.py) ----------
     # Used whenever the grid admits at least two doubling levels; the sorted
     # machinery below remains for tiny shapes and as the finishing stage
@@ -345,9 +369,11 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
         rounds = jnp.asarray(0)
         if res.top_tile != height or res.top_tile != width:
             # non-square remainder: finish with sorted global rounds over the
-            # remaining inter-supertile merges. Normalize ids to pixel-index
-            # space first (frozen ids are >= n); former frozen regions simply
-            # rejoin contraction here — the sorted rounds have no slot caps.
+            # remaining inter-supertile merges. relabel_connected re-roots
+            # every region (frozen included — they carry smallest-pixel ids
+            # already) so the sorted rounds see plain pixel-index roots;
+            # former frozen regions simply rejoin contraction here — the
+            # sorted rounds have no slot caps.
             root = relabel_connected(labels).reshape(-1)
 
             def grid_endpoints_h(r):
@@ -362,6 +388,10 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                 max_rounds=max(max_rounds, 1), mode=mode,
                 matchings_per_round=matchings_per_round, salt_base=90_000)
             labels = root.reshape(height, width)
+            if icm_sweeps == 0:
+                # sorted-round roots are not smallest-pixel ids; restore the
+                # minlabel contract here since no post-ICM relabel will
+                labels = relabel_connected(labels)
         if icm_sweeps > 0:
             labels = _icm_refine(labels, costs_f32, icm_sweeps)
             labels = relabel_connected(labels)
@@ -407,6 +437,24 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
     if return_rounds:
         return labels, rounds
     return labels
+
+
+def produces_minlabel(height: int, width: int, mode: str,
+                      icm_sweeps: int, hier: bool = True) -> bool:
+    """True when multicut_grid's labels are guaranteed to satisfy the
+    smallest-pixel-index (minlabel) contract for these settings and shape,
+    enabling the sort-free segment-stats path (ops/segment_stats.py).
+
+    icm_sweeps > 0 always qualifies (the post-ICM relabel_connected
+    re-roots every region). With icm_sweeps == 0 the hierarchy's labeling
+    itself is minlabel (frozen regions included, ops/multicut_hier.py), the
+    padded and non-square finishing paths relabel explicitly, and the grid
+    reaches one of those whenever min(H, W) >= 16; only the tiny-grid
+    sorted fallback leaves roots unnormalized."""
+    if icm_sweeps > 0:
+        return True
+    return hier and mode in ("chain", "random_mate") \
+        and min(height, width) >= 16
 
 
 def _icm_refine(labels: jnp.ndarray, costs: jnp.ndarray,

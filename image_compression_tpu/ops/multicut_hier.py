@@ -23,13 +23,16 @@ edge weights, preserving the GAEC semantics of the reference's RAMA solver
 (rama_wrapper.cu:52-127; parallel contraction per arXiv:2109.01838).
 
 Slot-cap overflow (more regions in a supertile than S slots) FREEZES the
-surplus regions: a frozen region keeps a unique final id, takes no further
-part in any merge (its pixels carry rank -1, whose one-hot rows are zero),
-and is emitted unchanged in the final labeling. Freezing can only cost
-objective (a merge not taken), never correctness — the all-negative-costs
-"everything stays a singleton" invariant holds exactly. Caps are sized so
-freezing is rare on real cost fields; `hier_gaec` reports how many regions
-froze.
+surplus regions: a frozen region takes no further part in any merge (its
+pixels carry rank -1, whose one-hot rows are zero) and is emitted unchanged
+in the final labeling, labeled by its SMALLEST PIXEL INDEX — computed at
+freeze time with the same masked one-hot min `smallest_pixel_labels` uses —
+so the public minlabel contract holds for every region, frozen or not (and
+the sort-free segment-stats path stays valid with icm_sweeps=0, where no
+connectivity relabel runs). Freezing can only cost objective (a merge not
+taken), never correctness — the all-negative-costs "everything stays a
+singleton" invariant holds exactly. Caps are sized so freezing is rare on
+real cost fields; `hier_gaec` reports how many regions froze.
 
 Precision: pair matmuls use bf16 one-hots carrying bf16-rounded edge weights
 with float32 MXU accumulation (documented divergence: weights quantized to
@@ -50,7 +53,8 @@ class HierResult(NamedTuple):
     rank_img: jnp.ndarray   # [H, W] int32 rank within its top tile; -1 frozen
     n_regions: jnp.ndarray  # [T_top] int32 live regions per top-level tile
     frozen: jnp.ndarray     # [H, W] bool: pixel belongs to a frozen region
-    final_gid: jnp.ndarray  # [H, W] int32 unique id where frozen (>= H*W)
+    final_gid: jnp.ndarray  # [H, W] int32 where frozen: the region's
+    #                         smallest pixel index (minlabel contract)
     overflow: jnp.ndarray   # scalar int32: total regions frozen
     top_tile: int           # side of the top-level supertile (static)
     top_slots: int          # slot cap at the top level (static)
@@ -304,15 +308,23 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
             off_img = jnp.repeat(jnp.repeat(off_prev, prev_s, axis=0),
                                  prev_s, axis=1)
             cand_img = rank_img + off_img
-            # freeze whole regions that don't fit the cap: they keep a
-            # unique id (level i, previous-level tile, rank — all shared by
-            # exactly the region's pixels) offset by i*n to stay disjoint
-            # from pixel-index labels and other levels' frozen ids
+            # freeze whole regions that don't fit the cap, labeling each by
+            # its smallest pixel index (masked one-hot min over the previous
+            # level's slots — the per-level form of smallest_pixel_labels),
+            # so frozen regions satisfy the same minlabel contract as live
+            # ones and are automatically disjoint from live labels
             newly = ~frozen & (rank_img >= 0) & (cand_img >= slots)
-            prev_tile_idx = (ys // prev_s) * tw_p + (xs // prev_s)
             prev_slots = int(caps[i - 1])
-            gid_prev = prev_tile_idx * prev_slots + rank_img
-            final_gid = jnp.where(newly, i * n + gid_prev, final_gid)
+            ranks_pt = _to_tiles(rank_img, prev_s)
+            pix_pt = _to_tiles(ys * width + xs, prev_s).astype(jnp.float32)
+            oh_p = jax.nn.one_hot(ranks_pt, prev_slots, dtype=jnp.float32)
+            mins_p = jnp.min(jnp.where(oh_p > 0, pix_pt[..., None], float(n)),
+                             axis=1)
+            minpix_t = _take_slots(mins_p, jnp.maximum(ranks_pt, 0),
+                                   prev_slots)
+            minpix = _from_tiles(minpix_t, height, width,
+                                 prev_s).astype(jnp.int32)
+            final_gid = jnp.where(newly, minpix, final_gid)
             frozen = frozen | newly
             rank_img = jnp.where(frozen, -1, cand_img)
             # frozen regions counted once each (they occupy no slot)
@@ -347,8 +359,9 @@ def globalize(res: HierResult, height: int, width: int) -> jnp.ndarray:
 def smallest_pixel_labels(res: HierResult) -> jnp.ndarray:
     """Relabel top-tile ranks to each region's smallest pixel index — the
     public label contract — via a masked min over slot columns (pixel ids
-    < 2^24 are exact in f32). Frozen regions keep their unique final_gid
-    (>= H*W, disjoint from pixel indices)."""
+    < 2^24 are exact in f32). Frozen regions carry their own smallest pixel
+    index in final_gid (assigned at freeze time), so the returned labeling
+    satisfies the minlabel contract for every region."""
     height, width = res.rank_img.shape
     s, slots = res.top_tile, res.top_slots
     ranks_t = _to_tiles(res.rank_img, s)                    # [T, s*s]

@@ -284,7 +284,7 @@ def _classify_and_pack(bboxes, valid, class_sizes, caps, k_max):
 @functools.partial(jax.jit,
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter"))
+                                    "adaptive_filter", "class_caps"))
 def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                     counts: jnp.ndarray, bboxes: jnp.ndarray,
                                     valid: jnp.ndarray, *,
@@ -293,7 +293,9 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                     b_match_token: float = 18.0,
                                     gamma: float = 0.1,
                                     overhead_base: float = 9.308622,
-                                    adaptive_filter: bool = True) -> jnp.ndarray:
+                                    adaptive_filter: bool = True,
+                                    class_caps: tuple | None = None
+                                    ) -> jnp.ndarray:
     """Size-bucketed estimator: identical math to estimate_segment_png_sizes,
     but each segment is evaluated inside a static square crop of the smallest
     class that contains its bbox (dynamic_slice), so per-slot work scales
@@ -316,14 +318,26 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                    if 32 <= s < min(height, width)] + [max(height, width)]
     class_crops = [(min(s, height), min(s, width)) for s in class_sizes]
     n_classes = len(class_sizes)
-    caps = []
-    for i, s in enumerate(class_sizes):
-        if i == n_classes - 1:
-            # full-image slots are the expensive ones; real segmentations
-            # rarely have more than a few near-full-size segments
-            caps.append(max(2, k_max // 16))
-        else:
-            caps.append(max(4, k_max // (2 ** i)))
+    if class_caps is not None:
+        # workload-derived schedule (VERDICT round-2 next #8): callers that
+        # know their segment-size histogram (e.g. the bench's trained
+        # checkpoint at ~38 mostly-small segments/img) pass per-class caps
+        # measured from it instead of the generic halving ramp. Spill
+        # semantics are unchanged, so a too-tight cap degrades gracefully
+        # (larger crop class, then the literal-only bound), never wrongly.
+        if len(class_caps) != n_classes:
+            raise ValueError(f"class_caps needs {n_classes} entries "
+                             f"for {class_sizes}, got {class_caps}")
+        caps = [int(c) for c in class_caps]
+    else:
+        caps = []
+        for i, s in enumerate(class_sizes):
+            if i == n_classes - 1:
+                # full-image slots are the expensive ones; real segmentations
+                # rarely have more than a few near-full-size segments
+                caps.append(max(2, k_max // 16))
+            else:
+                caps.append(max(4, k_max // (2 ** i)))
 
     cls, rank, overflow = _classify_and_pack(bboxes, valid, class_sizes,
                                              caps, k_max)

@@ -92,10 +92,10 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
     O(H*W*S_top) as unsharded — the next lever there is child-pair-matrix
     aggregation, not sharding.
 
-    Labels equal multicut_grid(costs, icm_sweeps=0)'s up to frozen-region
-    ids (slot-cap overflow gets strip-offset unique ids >= H*W*n_levels
-    instead of the unsharded numbering; freezing is rare by cap sizing and
-    never changes the partition of unfrozen pixels).
+    Labels equal multicut_grid(costs, icm_sweeps=0)'s exactly, including
+    frozen regions: freezing labels a region by its smallest pixel index,
+    and the strip-local index plus the strip's row offset IS the global
+    smallest pixel index (a strip-frozen region lies within one strip).
 
     Requires: H divisible by n_devices, strip height divisible by 8, and a
     hierarchy whose top tile covers the image (square power-of-two sizes).
@@ -127,13 +127,12 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
         res = hier_gaec(costs_strip, mode=mode,
                         rounds_per_level=rpl[:n_local] if rpl else None,
                         caps=caps_full[:n_local])
-        # remap frozen ids into a per-strip range disjoint from pixel labels
-        # and from any id the coarse continuation can assign (< len(sides)*n)
+        # frozen regions are labeled by their smallest pixel index in STRIP
+        # coordinates; adding the strip's first global pixel index yields
+        # exactly the unsharded labeling
         strip = jax.lax.axis_index(axis_name)
-        span = (n_local + 1) * h_loc * width
         gid = jnp.where(res.frozen,
-                        len(sides) * height * width + strip * span
-                        + res.final_gid, 0)
+                        strip * h_loc * width + res.final_gid, 0)
         return res.rank_img, res.n_regions[None, :], res.frozen, gid
 
     rank_img, ncand_2d, frozen, final_gid = local_levels(costs_hw2)

@@ -48,12 +48,17 @@ def learned_costs(model: EdgeUNet, params, images: jnp.ndarray,
     return squash_mu(mu_raw, mu_scale) * edge_validity_masks(height, width)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "max_rounds", "icm_sweeps"))
+@functools.partial(jax.jit, static_argnames=("mode", "max_rounds",
+                                             "icm_sweeps", "hier_rounds",
+                                             "hier_caps"))
 def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
-                  max_rounds: int = 64, icm_sweeps: int = 8) -> jnp.ndarray:
+                  max_rounds: int = 64, icm_sweeps: int = 8,
+                  hier_rounds: tuple | None = None,
+                  hier_caps: str | None = None) -> jnp.ndarray:
     """Batched multicut over cost planes -> labels [B, H, W] int32."""
     fn = functools.partial(multicut_grid, mode=mode, max_rounds=max_rounds,
-                           icm_sweeps=icm_sweeps)
+                           icm_sweeps=icm_sweeps, hier_rounds=hier_rounds,
+                           hier_caps=hier_caps)
     return jax.vmap(fn)(costs_bhw2)
 
 
@@ -64,9 +69,13 @@ def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
     slice + write on host. Returns the per-image output directories."""
     batch = jnp.asarray(np.stack([to_float01_rgb(im) for im in images_u8]))
     costs = cost_fn(batch)
-    labels = segment_batch(costs, mode=cfg.multicut.mode,
-                           max_rounds=cfg.multicut.max_rounds,
-                           icm_sweeps=cfg.multicut.icm_sweeps)
+    mc = cfg.multicut
+    labels = segment_batch(costs, mode=mc.mode,
+                           max_rounds=mc.max_rounds,
+                           icm_sweeps=mc.icm_sweeps,
+                           hier_rounds=(tuple(mc.hier_rounds)
+                                        if mc.hier_rounds else None),
+                           hier_caps=mc.hier_caps)
     labels = np.asarray(labels)
     out_dirs = []
     for img, lab, name in zip(images_u8, labels, names):

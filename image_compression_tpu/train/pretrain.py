@@ -71,8 +71,16 @@ class TargetDiskCache:
 
 
 def run_pretraining(cfg: Config, use_mesh: bool = True,
-                    log=print) -> tuple:
-    """Returns (final TrainState, run_id)."""
+                    log=print, resume: str | None = None) -> tuple:
+    """Returns (final TrainState, run_id).
+
+    resume: path to a prior run's checkpoint (params + optimizer state +
+    step, train/checkpoint.py) — training continues at the epoch implied by
+    the restored step counter. Together with the SIGTERM/SIGINT interrupt
+    checkpoint below this makes training preemption-safe: the failure-
+    recovery subsystem the reference lacks entirely (SURVEY.md section 5;
+    torch::save there keeps no optimizer state, pretraining.cpp:376-395).
+    """
     p = cfg.pretrain
     model = EdgeUNet()
     tx = make_pretrain_optimizer(cfg)
@@ -95,6 +103,13 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
 
     sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
     state = init_train_state(model, tx, jax.random.PRNGKey(0), sample)
+    start_epoch = 1
+    if resume is not None:
+        state = CheckpointManager.restore_path(resume, state)
+        steps_per_epoch = max(len(train_paths) // p.batch_size, 1)
+        start_epoch = 1 + int(state.step) // steps_per_epoch
+        log(f"resumed from {resume} at step {int(state.step)} "
+            f"(epoch {start_epoch})")
     step_fn = make_pretrain_step(model, tx, cfg)
     eval_fn = make_pretrain_eval(model, cfg)
 
@@ -183,7 +198,27 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
 
     metrics_log = MetricsLogger(cfg.results_dir, ckpt.run_id)
 
-    for epoch in range(1, p.epochs + 1):
+    # preemption safety: first SIGTERM/SIGINT finishes the current batch,
+    # checkpoints as "<run>_interrupt", and returns cleanly (resume with
+    # resume=<that path>); a second signal falls through to the default
+    # handler. TPU pods preempt with SIGTERM, so this is the elastic-
+    # recovery seam.
+    import signal
+
+    interrupted = {"flag": False}
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        interrupted["flag"] = True
+        signal.signal(signum, prev_handlers[signum])
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # non-main thread (tests): run without handlers
+            prev_handlers.pop(sig, None)
+
+    for epoch in range(start_epoch, p.epochs + 1):
         epoch_losses: list = []   # device scalars; fetched once per epoch
         t0 = time.time()
         for batch_count, (images, indices) in enumerate(
@@ -197,6 +232,10 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
             # round-trip per batch on the relay (CLAUDE.md), several times
             # the step itself
             epoch_losses.append(aux["loss"])
+            if interrupted["flag"]:
+                path = ckpt.save("interrupt", state)
+                log(f"interrupted: checkpointed to {path}")
+                return state, ckpt.run_id
 
             if batch_count % p.val_every == 0 or batch_count == 1:
                 val_loss, val_acc, val_sum = run_validation()

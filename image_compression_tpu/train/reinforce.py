@@ -27,8 +27,15 @@ from image_compression_tpu.train.steps import (init_rl_state,
 
 
 def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
-                  log=print):
-    """Returns (final RLState, run_id)."""
+                  log=print, resume: str | None = None):
+    """Returns (final RLState, run_id).
+
+    resume: path to a prior RL checkpoint (full RLState incl. optimizer,
+    EMA baseline and value-net state) — continues at the restored step.
+    The value-baseline flag must match the run being resumed (the state
+    trees differ). SIGTERM/SIGINT checkpoint an "<run>_interrupt" state
+    and return cleanly, mirroring train/pretrain.py's preemption seam.
+    """
     r = cfg.rl
     model = EdgeUNet()
     tx = make_rl_optimizer(cfg)
@@ -42,6 +49,9 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
             jax.random.PRNGKey(1),
             jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32))
     state = init_rl_state(pretrained_params, tx, value_params, value_tx)
+    if resume is not None:
+        state = CheckpointManager.restore_path(resume, state)
+        log(f"resumed RL state from {resume} at step {int(state.step)}")
 
     train_paths = find_image_files_recursively(cfg.dataset_dir,
                                                cfg.image_format)
@@ -82,7 +92,26 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
             n += images.shape[0]
         return rsum / max(n, 1)
 
-    for epoch in range(r.epochs):
+    import signal
+
+    interrupted = {"flag": False}
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        interrupted["flag"] = True
+        signal.signal(signum, prev_handlers[signum])
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # non-main thread (tests)
+            prev_handlers.pop(sig, None)
+
+    # skip epochs a resumed run already finished (step counts batches)
+    steps_per_epoch = max(len(train_paths) // r.batch_size, 1)
+    start_epoch = int(state.step) // steps_per_epoch
+
+    for epoch in range(start_epoch, r.epochs):
         for batch_count, (images, sizes) in enumerate(
                 train_data.epoch(epoch), 1):
             images = jnp.asarray(images)
@@ -90,6 +119,10 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
             if mesh is not None:
                 images, sizes = shard_batch(mesh, (images, sizes))
             state, aux = step_fn(state, key, images, sizes)
+            if interrupted["flag"]:
+                path = ckpt.save("interrupt", state)
+                log(f"interrupted: checkpointed to {path}")
+                return state, ckpt.run_id
 
             if batch_count % r.eval_every == 0:
                 eval_r = run_eval()

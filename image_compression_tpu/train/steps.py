@@ -30,7 +30,8 @@ from image_compression_tpu.ops.edges import (flatten_edge_planes,
                                              split_model_output, squash_mu,
                                              squash_sigma,
                                              unflatten_edge_planes)
-from image_compression_tpu.ops.multicut import multicut_grid
+from image_compression_tpu.ops.multicut import (multicut_grid,
+                                                produces_minlabel)
 from image_compression_tpu.ops.rewards import compute_rewards_batched
 from image_compression_tpu.train.losses import pretrain_loss
 from image_compression_tpu.train.metrics import edge_metrics
@@ -157,7 +158,10 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
         planes = unflatten_edge_planes(costs_flat, height, width)
         fn = functools.partial(multicut_grid, mode=mc.mode,
                                max_rounds=mc.max_rounds,
-                               icm_sweeps=mc.icm_sweeps)
+                               icm_sweeps=mc.icm_sweeps,
+                               hier_rounds=(tuple(mc.hier_rounds)
+                                            if mc.hier_rounds else None),
+                               hier_caps=mc.hier_caps)
         return jax.vmap(fn)(planes)
 
     # The step is deliberately THREE XLA programs, not one. All data stays
@@ -199,7 +203,8 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
             overhead_base=rw.overhead_base,
             adaptive_filter=rw.adaptive_filter,
             lam=rw.lambda_single_segment,
-            minlabel=mc.icm_sweeps > 0)
+            minlabel=produces_minlabel(height, width, mc.mode,
+                                       mc.icm_sweeps))
         return w, rewards
 
     @jax.jit
@@ -276,7 +281,10 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
         planes = unflatten_edge_planes(mu, height, width)
         fn = functools.partial(multicut_grid, mode=mc.mode,
                                max_rounds=mc.max_rounds,
-                               icm_sweeps=mc.icm_sweeps)
+                               icm_sweeps=mc.icm_sweeps,
+                               hier_rounds=(tuple(mc.hier_rounds)
+                                            if mc.hier_rounds else None),
+                               hier_caps=mc.hier_caps)
         labels = jax.vmap(fn)(planes)
         return compute_rewards_batched(
             images, labels, image_sizes, k_max=rw.max_segments,
@@ -285,7 +293,8 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
             overhead_base=rw.overhead_base,
             adaptive_filter=rw.adaptive_filter,
             lam=rw.lambda_single_segment,
-            minlabel=mc.icm_sweeps > 0)
+            minlabel=produces_minlabel(height, width, mc.mode,
+                                       mc.icm_sweeps))
 
     def evaluate(params, images, image_sizes):
         # two programs, same layout-poisoning rationale as make_rl_step

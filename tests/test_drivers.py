@@ -145,3 +145,23 @@ def test_reinforce_variants(tmp_path, tiny_dataset, variant):
         # the value head actually trained: params exist and are finite
         leaves = jax.tree_util.tree_leaves(state.value_params)
         assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+def test_pretrain_resume_continues_from_checkpoint(tmp_path, tiny_dataset):
+    """Preemption recovery: a resumed run restores params + optimizer +
+    step and skips the epochs the checkpoint already finished."""
+    from image_compression_tpu.train.pretrain import run_pretraining
+
+    train, val = tiny_dataset
+    cfg = tiny_cfg(tmp_path, train, val)
+    cfg.pretrain.epochs = 1
+    state1, run1 = run_pretraining(cfg, use_mesh=False, log=lambda *a: None)
+    assert int(state1.step) == 2
+
+    ckpt_path = tmp_path / "results" / f"fcn_pretrained_{run1}_final"
+    cfg.pretrain.epochs = 2
+    logs = []
+    state2, _ = run_pretraining(cfg, use_mesh=False, log=logs.append,
+                                resume=str(ckpt_path))
+    assert any("resumed" in ln for ln in logs)
+    assert int(state2.step) == 4  # one more epoch of 2 steps

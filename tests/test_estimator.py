@@ -249,3 +249,27 @@ def test_fast_estimator_overflow_upper_bound(rng):
         jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
         stats.valid))
     assert (fast >= flat - 1e-3).all()
+
+
+def test_fast_estimator_custom_caps_exact(rng):
+    """Workload-derived class caps (VERDICT round-2 next #8) change only the
+    slot packing, never the math: results stay bit-identical to the flat
+    estimator while caps hold, and a deliberately tight cap spills upward
+    exactly (larger crop class contains the bbox => same value)."""
+    from image_compression_tpu.ops.png_estimator import (
+        estimate_segment_png_sizes_fast)
+    from image_compression_tpu.utils.random_partition import (
+        random_rect_partition)
+
+    img = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    labels = random_rect_partition(64, 64, min_h=8, min_w=8,
+                                   min_rect_count=5, seed=3)
+    stats = segment_stats(jnp.asarray(labels), 16)
+    flat = np.asarray(estimate_segment_png_sizes(
+        jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+        stats.valid))
+    for caps in ((16, 16), (2, 16)):  # ample; tight first class forces spill
+        fast = np.asarray(estimate_segment_png_sizes_fast(
+            jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+            stats.valid, class_caps=caps))
+        np.testing.assert_allclose(fast, flat, rtol=1e-5)

@@ -161,6 +161,8 @@ def test_felzenszwalb_hier_matches_pixel_space(rng):
     lab_p = np.asarray(felzenszwalb_labels(jnp.asarray(img), min_size=100,
                                            hier=False))
     f1 = boundary_agreement(lab_h, lab_p)
-    assert f1 > 0.6, f1
+    # measured 0.73-0.92 over seeds 0-4 (round 3); bound set just below the
+    # worst observed so the test constrains rather than documents
+    assert f1 > 0.7, f1
     n_h, n_p = len(np.unique(lab_h)), len(np.unique(lab_p))
-    assert abs(n_h - n_p) <= max(3, n_p), (n_h, n_p)
+    assert abs(n_h - n_p) <= 6, (n_h, n_p)

@@ -68,15 +68,15 @@ def test_clusters_are_connected():
         assert num == 1, f"cluster {lab} is disconnected"
 
 
-@pytest.mark.parametrize("mode,bound", [("random_mate", 0.05),
-                                        ("chain", 0.12)])
+@pytest.mark.parametrize("mode,bound", [("random_mate", 0.03),
+                                        ("chain", 0.03)])
 def test_near_optimal_vs_brute_force(mode, bound):
     """Parallel GAEC + ICM stays near optimal summed over random tiny
     instances (individual adversarial instances may gap higher; so does
-    sequential GAEC) and never loses to the trivial partitions. random_mate
-    merges on exact aggregated costs only and bounds tighter; the fast chain
-    default trades a little quality on adversarial tiny instances (realistic
-    cost fields measure within 0.1%)."""
+    sequential GAEC) and never loses to the trivial partitions. Tiny grids
+    run the chain/random_mate ensemble (multicut_grid picks the better
+    objective), which cuts chain's summed gap from 7.2% to the measured
+    1.85%; bounds set at 0.03 with margin for platform jitter."""
     total_gap = 0.0
     pos_total = 0.0
     for seed in range(6):
@@ -211,3 +211,22 @@ def test_odd_sizes_use_padded_hier_and_stay_correct():
         multicut_grid(jnp.ones((20, 26, 2)))))) == 1
     assert len(np.unique(np.asarray(
         multicut_grid(-jnp.ones((20, 26, 2)))))) == 20 * 26
+
+
+def test_frozen_regions_keep_minlabel_contract():
+    """Slot-cap overflow labels frozen regions by their smallest pixel
+    index (assigned at freeze time, ops/multicut_hier.py), so the minlabel
+    contract holds with icm_sweeps=0 where no connectivity relabel runs.
+    Tiny caps on pure-noise costs force heavy freezing."""
+    from image_compression_tpu.ops.multicut_hier import (hier_gaec,
+                                                         smallest_pixel_labels)
+
+    rng = np.random.default_rng(3)
+    costs = jnp.asarray(rng.normal(size=(64, 64, 2)).astype(np.float32))
+    res = hier_gaec(costs, caps=[64, 24, 16, 12])  # sides 8/16/32/64
+    assert int(res.overflow) > 0, "test needs actual freezing"
+    labels = np.asarray(smallest_pixel_labels(res))
+    flat = labels.reshape(-1)
+    for lab in np.unique(labels):
+        assert flat[np.flatnonzero(flat == lab).min()] == lab
+        assert np.flatnonzero(flat == lab).min() == lab
