@@ -104,6 +104,7 @@ def main():
         out_bytes = meta_bytes = 0
         predicted = 0.0
         n_slices = []
+        side_hist = [0, 0, 0, 0]  # bbox side <=32 / <=64 / <=128 / <=256
         for i in range(0, len(images_u8), args.batch):
             chunk = images_u8[i:i + args.batch]
             batch = jnp.asarray(np.stack([to_float01_rgb(im)
@@ -118,6 +119,15 @@ def main():
             labels = np.asarray(labels)
             for j, (img, lab) in enumerate(zip(chunk, labels)):
                 tag = f"img_{i + j}"
+                # bbox-side histogram: evidence for the estimator's
+                # workload-derived class caps (class_caps, VERDICT #8)
+                for lab_id in np.unique(lab):
+                    ys_, xs_ = np.nonzero(lab == lab_id)
+                    side = max(ys_.max() - ys_.min(), xs_.max() - xs_.min()) + 1
+                    for c, s in enumerate((32, 64, 128, 256)):
+                        if side <= s:
+                            side_hist[c] += 1
+                            break
                 write_slices(img, lab.astype(np.int64), out_root, tag)
                 d = out_root / tag
                 out_bytes += dir_bytes(d)
@@ -141,6 +151,7 @@ def main():
             "estimator_calibration_pred_over_real": round(
                 predicted / max(out_bytes - meta_bytes, 1), 4),
             "slices_per_img": round(float(np.mean(n_slices)), 1),
+            "bbox_side_hist_32_64_128_256": side_hist,
         }
         print(json.dumps({"mode": name, **report[name]}), flush=True)
 

@@ -57,7 +57,8 @@ class ImageBatches:
     def __init__(self, paths: list[pathlib.Path], batch_size: int,
                  image_size: int | None = None, with_file_sizes: bool = False,
                  workers: int = 4, drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 4, yield_indices: bool = False):
+                 prefetch: int = 4, yield_indices: bool = False,
+                 cache_bytes: int = 0):
         self.paths = list(paths)
         self.batch_size = batch_size
         self.image_size = image_size
@@ -67,6 +68,29 @@ class ImageBatches:
         self.seed = seed
         self.prefetch = prefetch
         self.yield_indices = yield_indices
+        # decoded-image RAM cache: PNG decode dominates the host loop on
+        # low-core machines once everything else is on device (the
+        # reference's dataloader re-decodes every epoch, EdgeDataset.h:103).
+        # Bounded by cache_bytes; 0 disables.
+        self.cache_bytes = cache_bytes
+        self._cache: dict[int, tuple] = {}
+        self._cache_used = 0
+        self._cache_lock = threading.Lock()
+
+    def _example(self, idx: int):
+        hit = self._cache.get(idx)
+        if hit is not None:
+            return hit
+        ex = _load_example(self.paths[idx], self.image_size,
+                           self.with_file_sizes)
+        if self.cache_bytes:
+            with self._cache_lock:
+                if (idx not in self._cache
+                        and self._cache_used + ex[0].nbytes
+                        <= self.cache_bytes):
+                    self._cache[idx] = ex
+                    self._cache_used += ex[0].nbytes
+        return ex
 
     def __len__(self):
         n = len(self.paths) // self.batch_size
@@ -103,11 +127,7 @@ class ImageBatches:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    examples = list(pool.map(
-                        lambda i: _load_example(self.paths[i],
-                                                self.image_size,
-                                                self.with_file_sizes),
-                        idxs))
+                    examples = list(pool.map(self._example, idxs))
                     images = np.stack([e[0] for e in examples])
                     item: tuple = (images,)
                     if self.with_file_sizes:

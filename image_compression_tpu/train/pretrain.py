@@ -94,10 +94,13 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
     if not train_paths:
         raise FileNotFoundError(f"no images under {cfg.dataset_dir}")
 
+    cache = 4 << 30  # decoded-image RAM cache (epochs re-read the corpus)
     train_data = ImageBatches(train_paths, p.batch_size, cfg.image_size,
-                              workers=4, drop_last=True, yield_indices=True)
+                              workers=4, drop_last=True, yield_indices=True,
+                              cache_bytes=cache)
     val_data = ImageBatches(val_paths, p.batch_size, cfg.image_size,
-                            workers=2, drop_last=False)
+                            workers=2, drop_last=False,
+                            cache_bytes=cache // 4)
 
     mesh = make_mesh() if use_mesh else None
 

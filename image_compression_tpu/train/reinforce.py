@@ -62,10 +62,13 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
     if not train_paths:
         raise FileNotFoundError(f"no images under {cfg.dataset_dir}")
 
+    cache = 4 << 30  # decoded-image RAM cache (epochs re-read the corpus)
     train_data = ImageBatches(train_paths, r.batch_size, cfg.image_size,
-                              with_file_sizes=True, workers=4, drop_last=True)
+                              with_file_sizes=True, workers=4, drop_last=True,
+                              cache_bytes=cache)
     val_data = ImageBatches(val_paths, r.batch_size, cfg.image_size,
-                            with_file_sizes=True, workers=2, drop_last=False)
+                            with_file_sizes=True, workers=2, drop_last=False,
+                            cache_bytes=cache // 4)
 
     mesh = make_mesh() if use_mesh else None
     if mesh is not None:
@@ -110,6 +113,7 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
     # skip epochs a resumed run already finished (step counts batches)
     steps_per_epoch = max(len(train_paths) // r.batch_size, 1)
     start_epoch = int(state.step) // steps_per_epoch
+    n_evals = 0
 
     for epoch in range(start_epoch, r.epochs):
         for batch_count, (images, sizes) in enumerate(
@@ -125,6 +129,7 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
                 return state, ckpt.run_id
 
             if batch_count % r.eval_every == 0:
+                n_evals += 1
                 eval_r = run_eval()
                 record = {"phase": "rl", "epoch": epoch, "step": batch_count,
                           "loss": float(aux["loss"]),
@@ -140,7 +145,11 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
                     f"Rmean={record['reward_mean']:.4f} "
                     f"baseline={record['baseline']:.4f}")
                 log(f"Eval reward mean={eval_r:.4f}")
-                ckpt.save("latest", state)
+                # a full-state orbax save costs several seconds on slow
+                # filesystems — several times the 100 train steps between
+                # evals; keep the metric cadence but checkpoint sparsely
+                if n_evals % 5 == 0:
+                    ckpt.save("latest", state)
 
     ckpt.save("final", state)
     return state, ckpt.run_id
