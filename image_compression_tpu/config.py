@@ -61,6 +61,9 @@ class MulticutConfig:
     matchings_per_round: int = 4  # matching passes per cost re-aggregation
     hier_rounds: tuple = (2, 1)   # dense-hierarchy rounds/level (last repeats)
     hier_caps: str | None = "half"  # lean_caps preset | None = default caps
+    hier_agg: str = "matrix"      # slot-space pair-matrix aggregation (same
+    #                               merges as "pixel" at a fraction of the
+    #                               work; ops/multicut_hier.py)
 
 
 @dataclasses.dataclass

@@ -232,7 +232,8 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
                                     "matchings_per_round", "tile",
                                     "presolve_rounds", "boundary_rounds",
                                     "return_rounds", "hier",
-                                    "hier_rounds", "hier_caps"))
+                                    "hier_rounds", "hier_caps",
+                                    "hier_agg"))
 def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                   mode: str = "chain", icm_sweeps: int = 8,
                   matchings_per_round: int = 4, tile: int = 16,
@@ -240,7 +241,8 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                   return_rounds: bool = False,
                   hier: bool = True,
                   hier_rounds: tuple[int, ...] | None = None,
-                  hier_caps: tuple[int, ...] | str | None = None) -> jnp.ndarray:
+                  hier_caps: tuple[int, ...] | str | None = None,
+                  hier_agg: str = "pixel") -> jnp.ndarray:
     """Solve multicut on the 4-connected grid.
 
     Multilevel greedy additive edge contraction (GAEC), the TPU mapping of
@@ -279,6 +281,9 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
       hier_rounds / hier_caps: per-level round counts and slot caps for the
         dense hierarchy (hier_caps may be a `lean_caps` preset name); None
         uses the tuned defaults in ops/multicut_hier.py.
+      hier_agg: "pixel" re-aggregates pair costs from pixel-space one-hot
+        matmuls every round; "matrix" carries the pair matrix as slot-space
+        state (same merges, a fraction of the work — ops/multicut_hier.py).
 
     Returns:
       labels: [H, W] int32; cluster id = smallest pixel index in the cluster.
@@ -349,7 +354,8 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                             tile=tile, presolve_rounds=presolve_rounds,
                             boundary_rounds=boundary_rounds,
                             return_rounds=return_rounds, hier=True,
-                            hier_rounds=hier_rounds, hier_caps=hier_caps)
+                            hier_rounds=hier_rounds, hier_caps=hier_caps,
+                            hier_agg=hier_agg)
         if return_rounds:
             labels_p, rounds = out
         else:
@@ -364,7 +370,7 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
         caps = (lean_caps(hier_sides, hier_caps)
                 if isinstance(hier_caps, str) else hier_caps)
         res = hier_gaec(costs_f32, mode=mode, rounds_per_level=hier_rounds,
-                        caps=caps)
+                        caps=caps, agg=hier_agg)
         labels = smallest_pixel_labels(res)
         rounds = jnp.asarray(0)
         if res.top_tile != height or res.top_tile != width:

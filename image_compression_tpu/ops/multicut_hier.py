@@ -58,6 +58,8 @@ class HierResult(NamedTuple):
     overflow: jnp.ndarray   # scalar int32: total regions frozen
     top_tile: int           # side of the top-level supertile (static)
     top_slots: int          # slot cap at the top level (static)
+    minpix: jnp.ndarray | None = None  # [T_top, S] f32 min pixel id per live
+    #                         slot (agg="matrix" only; pixel ids < 2^24 exact)
 
 
 def _to_tiles(img: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -185,6 +187,267 @@ def _dense_rounds(rank_img: jnp.ndarray, w_e: jnp.ndarray, s: int,
     return _from_tiles(g, height, width, s), n_alive
 
 
+# ---------------------------------------------------------------------------
+# agg="matrix": slot-space pair-matrix aggregation
+#
+# The pixel path above re-aggregates the dense pair matrix from pixel-space
+# one-hot matmuls EVERY round ([T, 2*s*s, S] one-hots -> the dominant HBM
+# term of the solve). The matrix path aggregates from pixels exactly once
+# per leaf and thereafter keeps the per-tile pair matrix itself as the
+# state: a merge round is P <- M^T P M (two tiny [T, S, S] matmuls), the
+# level transition embeds the four child matrices with their rank offsets
+# and adds only the newly active edges (the two mid-lines of each new tile,
+# [T, 2s] edges instead of [T, 2*s*s]). Per-pixel work drops to ONE slot-map
+# apply per level. Merge decisions are identical to the pixel path under
+# exact arithmetic (bf16 leaf weights, f32 sums; sums are regrouped, so
+# real-valued costs can differ by f32 rounding — integer-valued costs are
+# bit-identical, which is what tests/test_multicut.py asserts).
+#
+# Min-pixel ids ride along as a per-slot vector m [T, S] (f32, exact below
+# 2^24): merges take the masked min, freezing reads the frozen region's
+# label straight out of m, and the final labeling is a single slot lookup —
+# no pixel-space one-hot mins anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _pair_from_pixels(rank_img: jnp.ndarray, costs_f32: jnp.ndarray, s: int,
+                      slots: int) -> jnp.ndarray:
+    """Aggregate the symmetric zero-diagonal pair-cost matrix [T, S, S] from
+    pixel state at supertile side s (the leaf aggregation; also the rebuild
+    entry for the spatially sharded continuation)."""
+    w_e = _level_weights(costs_f32, s)
+    a, b = _edge_endpoint_ranks(rank_img, s)
+    active = (a != b) & (w_e != 0.0)
+    we = jnp.where(active, w_e.astype(jnp.bfloat16), jnp.bfloat16(0))
+    oh_aw = jax.nn.one_hot(a, slots, dtype=jnp.bfloat16) * we[..., None]
+    oh_b = jax.nn.one_hot(b, slots, dtype=jnp.bfloat16)
+    pair = jnp.einsum("tea,teb->tab", oh_aw, oh_b,
+                      preferred_element_type=jnp.float32)
+    sym = pair + jnp.swapaxes(pair, 1, 2)
+    return sym * (1.0 - jnp.eye(slots, dtype=sym.dtype))
+
+
+def _minpix_from_pixels(rank_img: jnp.ndarray, s: int,
+                        slots: int) -> jnp.ndarray:
+    """Per-slot smallest pixel id [T, S] from pixel state (rebuild entry;
+    dead slots carry the sentinel H*W)."""
+    height, width = rank_img.shape
+    n = height * width
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    pix_t = _to_tiles(ys * width + xs, s).astype(jnp.float32)
+    oh = jax.nn.one_hot(_to_tiles(rank_img, s), slots, dtype=jnp.float32)
+    return jnp.min(jnp.where(oh > 0, pix_t[..., None], float(n)), axis=1)
+
+
+def _matrix_rounds(sym: jnp.ndarray, m: jnp.ndarray, slots: int, rounds: int,
+                   mode: str, level_salt: int, sentinel: float
+                   ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                              jnp.ndarray]:
+    """GAEC rounds entirely in slot space, then dense re-ranking.
+
+    Returns (sym, m, cmap, n_alive): cmap [T, S] maps entry ranks to the
+    final dense ranks (values for entry-dead slots are garbage — no pixel
+    carries them). Decision logic mirrors _dense_rounds.one_round exactly,
+    including random_mate's per-(tile, round) coin keys."""
+    t_count = sym.shape[0]
+    ids = jnp.arange(slots, dtype=jnp.int32)[None, :]
+    ids_f = ids.astype(jnp.float32)
+    eye = jnp.eye(slots, dtype=sym.dtype)
+    cmap = jnp.broadcast_to(ids_f, (t_count, slots))
+
+    for r in range(rounds):
+        best = jnp.max(sym, axis=-1)                        # [T, S]
+        partner = jnp.argmax(sym, axis=-1).astype(jnp.int32)
+        merge = best > 0.0
+        partner_safe = jnp.where(merge, partner, 0)
+
+        pp = _take_slots(partner.astype(jnp.float32), partner_safe, slots)
+        mutual = merge & (pp == ids_f)
+        if mode == "mutual":
+            merge = mutual
+        elif mode == "random_mate":
+            coin = jax.random.bernoulli(
+                jax.random.fold_in(jax.random.PRNGKey(3), level_salt + r),
+                0.5, (t_count, slots))
+            tails = merge & ~coin & (_take_slots(
+                coin.astype(jnp.float32), partner_safe, slots) > 0.5)
+            merge = mutual | tails
+        # mode == "chain": hook everything
+
+        nxt = jnp.where(merge, partner, ids)
+        nn = _take_slots(nxt.astype(jnp.float32), nxt, slots)
+        two_cycle = (nn == ids_f) & (ids < nxt)
+        nxt = jnp.where(two_cycle, ids, nxt)
+        doublings = 3 if mode == "chain" else 2
+        nxt_f = nxt.astype(jnp.float32)
+        for _ in range(doublings):
+            nxt_f = _take_slots(nxt_f, nxt_f.astype(jnp.int32), slots)
+
+        mm = jax.nn.one_hot(nxt_f.astype(jnp.int32), slots,
+                            dtype=jnp.float32)                # [T, S, S]
+        x = jnp.einsum("tab,tbB->taB", sym, mm,
+                       preferred_element_type=jnp.float32)
+        sym = jnp.einsum("taA,taB->tAB", mm, x,
+                         preferred_element_type=jnp.float32)
+        sym = sym * (1.0 - eye)  # intra-region mass, = pixel path's a != b
+        m = jnp.min(jnp.where(mm > 0, m[:, :, None], sentinel), axis=1)
+        cmap = _take_slots(nxt_f, cmap.astype(jnp.int32), slots)
+
+    # --- compact: re-rank live slots densely (live iff it has a pixel,
+    # i.e. carries a finite min-pixel id) --------------------------------
+    alive = m < sentinel
+    new_rank = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+    n_alive = new_rank[:, -1] + 1
+    cc = jax.nn.one_hot(jnp.where(alive, new_rank, -1), slots,
+                        dtype=jnp.float32)
+    x = jnp.einsum("tab,tbB->taB", sym, cc, preferred_element_type=jnp.float32)
+    sym = jnp.einsum("taA,taB->tAB", cc, x, preferred_element_type=jnp.float32)
+    m = jnp.min(jnp.where(cc > 0, m[:, :, None], sentinel), axis=1)
+    cmap = _take_slots(new_rank.astype(jnp.float32), cmap.astype(jnp.int32),
+                       slots)
+    return sym, m, cmap, n_alive
+
+
+def _matrix_transition(rank_img, ncand, sym, m, frozen, final_gid, overflow,
+                       costs_f32, prev_s: int, prev_slots: int, s: int,
+                       slots: int):
+    """Level transition in slot space: offset child ranks, freeze overflow
+    (labels straight from m), embed the four child pair matrices, and add
+    only the newly active mid-line edges."""
+    height, width = rank_img.shape
+    n = height * width
+    th_p, tw_p = height // prev_s, width // prev_s
+    th_n, tw_n = height // s, width // s
+    counts = ncand.reshape(th_p, tw_p)
+    c00 = counts[0::2, 0::2]
+    c01 = counts[0::2, 1::2]
+    c10 = counts[1::2, 0::2]
+    c11 = counts[1::2, 1::2]
+
+    # pixel-space candidate ranks (same quad arrangement as the pixel path)
+    off = jnp.stack([
+        jnp.stack([jnp.zeros_like(c00), c00], -1),
+        jnp.stack([c00 + c01, c00 + c01 + c10], -1),
+    ], -2)
+    off_prev = off.transpose(0, 2, 1, 3).reshape(th_p, tw_p)
+    off_img = jnp.repeat(jnp.repeat(off_prev, prev_s, axis=0),
+                         prev_s, axis=1)
+    cand_img = rank_img + off_img
+    newly = ~frozen & (rank_img >= 0) & (cand_img >= slots)
+    # the frozen region's minlabel is already in m — one slot lookup
+    ranks_pt = _to_tiles(rank_img, prev_s)
+    minpix_t = _take_slots(m, jnp.maximum(ranks_pt, 0), prev_slots)
+    minpix = _from_tiles(minpix_t, height, width, prev_s).astype(jnp.int32)
+    final_gid = jnp.where(newly, minpix, final_gid)
+    frozen = frozen | newly
+    rank_img = jnp.where(frozen, -1, cand_img)
+    overflow = overflow + jnp.sum(jnp.maximum(
+        (c00 + c01 + c10 + c11).reshape(-1) - slots, 0))
+
+    # embed the four child matrices with their rank offsets; candidates
+    # >= slots (frozen) get all-zero one-hot rows and drop out. Dead child
+    # slots may collide with a neighbor quad's range, but their rows are
+    # zero and their m is the sentinel, so they contribute nothing.
+    off4 = jnp.stack([jnp.zeros_like(c00), c00, c00 + c01,
+                      c00 + c01 + c10], axis=-1).reshape(-1, 4)  # [T', 4]
+    p4 = (sym.reshape(th_n, 2, tw_n, 2, prev_slots, prev_slots)
+          .transpose(0, 2, 1, 3, 4, 5)
+          .reshape(-1, 4, prev_slots, prev_slots))
+    m4 = (m.reshape(th_n, 2, tw_n, 2, prev_slots)
+          .transpose(0, 2, 1, 3, 4).reshape(-1, 4, prev_slots))
+    cand_slot = (jnp.arange(prev_slots, dtype=jnp.int32)[None, None, :]
+                 + off4[:, :, None])
+    emb = jax.nn.one_hot(cand_slot, slots, dtype=jnp.float32)  # [T',4,Sp,S]
+    x = jnp.einsum("tqab,tqbB->tqaB", p4, emb,
+                   preferred_element_type=jnp.float32)
+    sym_new = jnp.einsum("tqaA,tqaB->tAB", emb, x,
+                         preferred_element_type=jnp.float32)
+    m_new = jnp.min(jnp.where(emb > 0, m4[..., None], float(n)),
+                    axis=(1, 2))
+
+    # newly active edges: exactly the mid-lines of each new tile (active at
+    # side s, zeroed at side s/2: x % s == s/2 - 1 resp. y % s == s/2 - 1)
+    half = s // 2
+    def tiles_h(img):  # [H, tw_n] -> [T', s] in row-major tile order
+        return img.reshape(th_n, s, tw_n).transpose(0, 2, 1).reshape(-1, s)
+
+    def tiles_v(img):  # [th_n, W] -> [T', s]
+        return img.reshape(th_n, tw_n, s).reshape(-1, s)
+
+    a_e = jnp.concatenate([tiles_h(rank_img[:, half - 1::s]),
+                           tiles_v(rank_img[half - 1::s, :])], axis=1)
+    b_e = jnp.concatenate([tiles_h(rank_img[:, half::s]),
+                           tiles_v(rank_img[half::s, :])], axis=1)
+    w_e = jnp.concatenate([tiles_h(costs_f32[:, half - 1::s, 0]),
+                           tiles_v(costs_f32[half - 1::s, :, 1])], axis=1)
+    # frozen endpoints (-1) have all-zero one-hot rows; live endpoints of a
+    # mid-line edge always sit in different quads, so a != b holds and the
+    # diagonal stays zero
+    we = w_e.astype(jnp.bfloat16)
+    oh_aw = jax.nn.one_hot(a_e, slots, dtype=jnp.bfloat16) * we[..., None]
+    oh_b = jax.nn.one_hot(b_e, slots, dtype=jnp.bfloat16)
+    pair = jnp.einsum("tea,teb->tab", oh_aw, oh_b,
+                      preferred_element_type=jnp.float32)
+    sym_new = sym_new + pair + jnp.swapaxes(pair, 1, 2)
+    return rank_img, sym_new, m_new, frozen, final_gid, overflow
+
+
+def _apply_slot_map(rank_img: jnp.ndarray, cmap: jnp.ndarray, s: int,
+                    slots: int) -> jnp.ndarray:
+    """The one per-level pixel-space op of the matrix path: remap pixel
+    ranks through the level's composed slot map (frozen stay frozen)."""
+    height, width = rank_img.shape
+    ranks_t = _to_tiles(rank_img, s)
+    new_t = jnp.where(ranks_t < 0, -1,
+                      _take_slots(cmap, ranks_t, slots).astype(jnp.int32))
+    return _from_tiles(new_t, height, width, s)
+
+
+def _hier_gaec_matrix(costs_f32, sides, caps, rounds_per_level, mode,
+                      start_level, init_state) -> HierResult:
+    """agg="matrix" driver; see hier_gaec for the contract."""
+    height, width = costs_f32.shape[:2]
+    n = height * width
+    sentinel = float(n)
+
+    if init_state is not None:
+        rank_img, ncand, frozen, final_gid, overflow = init_state
+        prev = start_level - 1
+        sym = _pair_from_pixels(rank_img, costs_f32, sides[prev],
+                                int(caps[prev]))
+        m = _minpix_from_pixels(rank_img, sides[prev], int(caps[prev]))
+        first = start_level
+    else:
+        overflow = jnp.int32(0)
+        frozen = jnp.zeros((height, width), bool)
+        final_gid = jnp.zeros((height, width), jnp.int32)
+        s0, slots0 = sides[0], int(caps[0])
+        ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        rank_img = (ys % s0) * s0 + (xs % s0)
+        sym = _pair_from_pixels(rank_img, costs_f32, s0, slots0)
+        # level-0 ranks are the local pixel index: m is the pixel id itself
+        m = _to_tiles(ys * width + xs, s0).astype(jnp.float32)
+        sym, m, cmap, ncand = _matrix_rounds(
+            sym, m, slots0, int(rounds_per_level[0]), mode, 0, sentinel)
+        rank_img = _apply_slot_map(rank_img, cmap, s0, slots0)
+        first = 1
+
+    for i in range(first, len(sides)):
+        s, slots = sides[i], int(caps[i])
+        rank_img, sym, m, frozen, final_gid, overflow = _matrix_transition(
+            rank_img, ncand, sym, m, frozen, final_gid, overflow,
+            costs_f32, sides[i - 1], int(caps[i - 1]), s, slots)
+        sym, m, cmap, ncand = _matrix_rounds(
+            sym, m, slots, int(rounds_per_level[i]), mode, 1000 * i,
+            sentinel)
+        rank_img = _apply_slot_map(rank_img, cmap, s, slots)
+
+    return HierResult(rank_img, ncand, frozen, final_gid, overflow,
+                      sides[-1], int(caps[-1]), minpix=m)
+
+
 def plan_levels(height: int, width: int, base: int = 8) -> list[int]:
     """Supertile sides for the hierarchy: base, 2*base, ... while they divide
     both dims. Empty if base does not divide the image."""
@@ -233,7 +496,8 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
               rounds_per_level: Sequence[int] | None = None,
               caps: Sequence[int] | None = None,
               start_level: int = 0,
-              init_state: tuple | None = None) -> HierResult:
+              init_state: tuple | None = None,
+              agg: str = "pixel") -> HierResult:
     """Run the dense hierarchy over all divisible levels.
 
     Returns per-pixel region ranks within the top-level supertile plus the
@@ -248,6 +512,13 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
     carries them after finishing level start_level - 1; sides/caps/rounds
     must be the FULL image's plan so the resumed levels merge identically
     to an unsharded run.
+
+    agg selects the pair-cost aggregation: "pixel" recomputes the dense
+    pair matrix from pixel-space one-hot matmuls every round; "matrix"
+    keeps the pair matrix as slot-space state (P <- M^T P M per round,
+    child-matrix embedding + mid-line edges per level) — the same merge
+    decisions at a fraction of the pixel-space work (bit-identical on
+    integer-valued costs; f32-regrouping differences otherwise).
     """
     height, width = costs_hw2.shape[:2]
     sides = plan_levels(height, width, base)
@@ -255,8 +526,13 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
         raise ValueError(f"image {height}x{width} not divisible by {base}")
     if (start_level > 0) != (init_state is not None):
         raise ValueError("start_level and init_state go together")
+    if agg not in ("pixel", "matrix"):
+        raise ValueError(f"unknown agg: {agg}")
     if caps is None:
         caps = default_caps(sides)
+    if int(caps[0]) < sides[0] * sides[0]:
+        raise ValueError("caps[0] must cover the base tile "
+                         f"({sides[0]}^2), got {caps[0]}")
     if rounds_per_level is None:
         if mode == "chain":
             # tuned on both the smooth bench workload and noisy sampled-
@@ -273,6 +549,9 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
                             * (len(sides) - len(rounds_per_level)))
 
     costs_f32 = costs_hw2.astype(jnp.float32)
+    if agg == "matrix":
+        return _hier_gaec_matrix(costs_f32, sides, caps, rounds_per_level,
+                                 mode, start_level, init_state)
     n = height * width
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
@@ -364,6 +643,12 @@ def smallest_pixel_labels(res: HierResult) -> jnp.ndarray:
     satisfies the minlabel contract for every region."""
     height, width = res.rank_img.shape
     s, slots = res.top_tile, res.top_slots
+    if res.minpix is not None:  # agg="matrix": one slot lookup, no pixel min
+        ranks_t = _to_tiles(res.rank_img, s)
+        lab_t = _take_slots(res.minpix, jnp.maximum(ranks_t, 0),
+                            slots).astype(jnp.int32)
+        labels = _from_tiles(lab_t, height, width, s)
+        return jnp.where(res.frozen, res.final_gid, labels)
     ranks_t = _to_tiles(res.rank_img, s)                    # [T, s*s]
     n = height * width
     # global pixel index of each (tile, local) position

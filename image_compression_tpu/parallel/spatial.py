@@ -74,7 +74,8 @@ def halo_map(fn: Callable, mesh: Mesh, halo: int,
 def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
                           axis_name: str = "data",
                           mode: str = "chain",
-                          rounds_per_level=None, caps=None) -> jnp.ndarray:
+                          rounds_per_level=None, caps=None,
+                          agg: str = "pixel") -> jnp.ndarray:
     """Spatially sharded hierarchical multicut: one high-resolution image
     solved across the mesh (SURVEY section 5's scale axis; beats the
     reference's fixed-256 grid, training.cpp:85-91).
@@ -89,8 +90,9 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
     start_level entry; their merges involve cross-strip regions and run on
     the gathered (replicated) state. Per-device pixel-space work for the
     local levels drops by n_devices; the coarse continuation is the same
-    O(H*W*S_top) as unsharded — the next lever there is child-pair-matrix
-    aggregation, not sharding.
+    O(H*W*S_top) as unsharded; agg="matrix" (ops/multicut_hier.py) runs
+    that continuation in slot space — one pair-matrix rebuild from the
+    gathered state, then only [T, S, S] matmuls per round.
 
     Labels equal multicut_grid(costs, icm_sweeps=0)'s exactly, including
     frozen regions: freezing labels a region by its smallest pixel index,
@@ -126,7 +128,7 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
     def local_levels(costs_strip):
         res = hier_gaec(costs_strip, mode=mode,
                         rounds_per_level=rpl[:n_local] if rpl else None,
-                        caps=caps_full[:n_local])
+                        caps=caps_full[:n_local], agg=agg)
         # frozen regions are labeled by their smallest pixel index in STRIP
         # coordinates; adding the strip's first global pixel index yields
         # exactly the unsharded labeling
@@ -142,7 +144,7 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
     state = (rank_img, ncand, frozen, final_gid,
              jnp.int32(0))  # overflow restarts; strips counted theirs
     res = hier_gaec(costs_hw2, mode=mode, rounds_per_level=rpl, caps=caps_full,
-                    start_level=n_local, init_state=state)
+                    start_level=n_local, init_state=state, agg=agg)
     return smallest_pixel_labels(res)
 
 

@@ -161,7 +161,8 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
                                icm_sweeps=mc.icm_sweeps,
                                hier_rounds=(tuple(mc.hier_rounds)
                                             if mc.hier_rounds else None),
-                               hier_caps=mc.hier_caps)
+                               hier_caps=mc.hier_caps,
+                               hier_agg=mc.hier_agg)
         return jax.vmap(fn)(planes)
 
     # The step is deliberately THREE XLA programs, not one. All data stays
@@ -284,7 +285,8 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
                                icm_sweeps=mc.icm_sweeps,
                                hier_rounds=(tuple(mc.hier_rounds)
                                             if mc.hier_rounds else None),
-                               hier_caps=mc.hier_caps)
+                               hier_caps=mc.hier_caps,
+                               hier_agg=mc.hier_agg)
         labels = jax.vmap(fn)(planes)
         return compute_rewards_batched(
             images, labels, image_sizes, k_max=rw.max_segments,

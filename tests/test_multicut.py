@@ -230,3 +230,84 @@ def test_frozen_regions_keep_minlabel_contract():
     for lab in np.unique(labels):
         assert flat[np.flatnonzero(flat == lab).min()] == lab
         assert np.flatnonzero(flat == lab).min() == lab
+
+
+@pytest.mark.parametrize("mode", ["chain", "random_mate"])
+@pytest.mark.parametrize("caps", [None, "half"])
+def test_matrix_agg_matches_pixel_agg_bitwise(mode, caps):
+    """agg="matrix" (slot-space pair matrices, P <- M^T P M per round) makes
+    the exact same merge decisions as the pixel path: on integer-valued
+    costs every sum is exact in f32, so labels / freeze counts / live counts
+    must be BIT-IDENTICAL — heavy freezing included (random integer costs
+    overflow the tight caps hundreds of times at 64px)."""
+    from image_compression_tpu.ops.multicut_hier import (
+        hier_gaec, lean_caps, plan_levels, smallest_pixel_labels)
+
+    rng = np.random.default_rng(7)
+    costs = jnp.asarray(
+        rng.integers(-8, 9, size=(64, 64, 2)).astype(np.float32))
+    caps_list = lean_caps(plan_levels(64, 64, 8), caps) if caps else None
+    rp = hier_gaec(costs, mode=mode, caps=caps_list, agg="pixel")
+    rm = hier_gaec(costs, mode=mode, caps=caps_list, agg="matrix")
+    np.testing.assert_array_equal(np.asarray(smallest_pixel_labels(rp)),
+                                  np.asarray(smallest_pixel_labels(rm)))
+    assert int(rp.overflow) == int(rm.overflow)
+    np.testing.assert_array_equal(np.asarray(rp.n_regions),
+                                  np.asarray(rm.n_regions))
+    if caps == "half":
+        assert int(rm.overflow) > 0, "tight caps should force freezing"
+
+
+def test_matrix_agg_resume_matches_pixel_resume():
+    """The spatial continuation entry (start_level + init_state) rebuilds
+    slot-space state from pixel state; resumed merges must equal the pixel
+    path's (integer costs -> bitwise)."""
+    from image_compression_tpu.ops.multicut_hier import (
+        default_caps, hier_gaec, plan_levels, smallest_pixel_labels)
+
+    rng = np.random.default_rng(11)
+    costs_np = rng.integers(-8, 9, size=(64, 64, 2)).astype(np.float32)
+    caps = default_caps(plan_levels(64, 64, 8))
+    h_loc = 16
+    n_local = len(plan_levels(h_loc, 64, 8))
+    parts = []
+    for k in range(4):  # emulate 4 strips (parallel/spatial.py flow)
+        r = hier_gaec(jnp.asarray(costs_np[k * h_loc:(k + 1) * h_loc]),
+                      caps=caps[:n_local], rounds_per_level=[3, 2])
+        gid = np.where(np.asarray(r.frozen),
+                       k * h_loc * 64 + np.asarray(r.final_gid), 0)
+        parts.append((np.asarray(r.rank_img), np.asarray(r.n_regions),
+                      np.asarray(r.frozen), gid))
+    state = (jnp.asarray(np.concatenate([p[0] for p in parts], 0)),
+             jnp.asarray(np.concatenate([p[1] for p in parts], 0)),
+             jnp.asarray(np.concatenate([p[2] for p in parts], 0)),
+             jnp.asarray(np.concatenate([p[3] for p in parts], 0)),
+             jnp.int32(0))
+    out = {}
+    for agg in ("pixel", "matrix"):
+        r = hier_gaec(jnp.asarray(costs_np), caps=caps,
+                      rounds_per_level=[3, 2], start_level=n_local,
+                      init_state=state, agg=agg)
+        out[agg] = np.asarray(smallest_pixel_labels(r))
+    np.testing.assert_array_equal(out["pixel"], out["matrix"])
+
+
+def test_matrix_agg_through_multicut_grid():
+    """hier_agg="matrix" through the public entry: trivial invariants and
+    the minlabel contract, on square / non-square / padded shapes."""
+    ones = jnp.ones((32, 32, 2), jnp.float32)
+    assert n_clusters(multicut_grid(ones, icm_sweeps=0,
+                                    hier_agg="matrix")) == 1
+    lab = np.asarray(multicut_grid(-ones, icm_sweeps=0, hier_agg="matrix"))
+    np.testing.assert_array_equal(lab, np.arange(32 * 32).reshape(32, 32))
+
+    rng = np.random.default_rng(13)
+    for shape in [(64, 64), (96, 64), (40, 56)]:
+        costs = jnp.asarray(
+            (rng.standard_normal(shape + (2,)) + 0.3).astype(np.float32))
+        lab = np.asarray(multicut_grid(costs, icm_sweeps=0,
+                                       hier_caps="half", hier_rounds=(2, 1),
+                                       hier_agg="matrix"))
+        flat = lab.reshape(-1)
+        for v in np.unique(lab):
+            assert np.flatnonzero(flat == v).min() == v

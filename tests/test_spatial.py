@@ -68,6 +68,10 @@ def test_spatial_multicut_matches_single_device(mesh, rng):
     cs = jax.device_put(costs, NamedSharding(mesh, P("data")))
     got = np.asarray(multicut_grid_spatial(cs, mesh))
     np.testing.assert_array_equal(got, expected)
+    # slot-space continuation (agg="matrix"): same partition, and on this
+    # smooth field the same labels as the pixel path
+    got_m = np.asarray(multicut_grid_spatial(cs, mesh, agg="matrix"))
+    np.testing.assert_array_equal(got_m, expected)
 
 
 def test_spatial_multicut_trivial_invariants(mesh, rng):
