@@ -94,7 +94,8 @@ def main():
     solve = functools.partial(multicut_grid, mode=mc.mode,
                               icm_sweeps=mc.icm_sweeps,
                               hier_rounds=tuple(mc.hier_rounds),
-                              hier_caps=mc.hier_caps)
+                              hier_caps=mc.hier_caps,
+                              hier_agg=mc.hier_agg)
 
     @jax.jit
     def segment_program(params, images):

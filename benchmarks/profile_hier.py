@@ -198,6 +198,12 @@ def main():
                                     hier_caps="flat64", icm_sweeps=0)),
         ("half icm0", dict(hier_caps="half", icm_sweeps=0)),
         ("half icm2", dict(hier_caps="half", icm_sweeps=2)),
+        ("rpl211+half icm0 MATRIX", dict(hier_rounds=(2, 1, 1, 1, 1, 1),
+                                         hier_caps="half", icm_sweeps=0,
+                                         hier_agg="matrix")),
+        ("rpl211+flat64 icm0 MATRIX", dict(hier_rounds=(2, 1, 1, 1, 1, 1),
+                                           hier_caps="flat64", icm_sweeps=0,
+                                           hier_agg="matrix")),
     ]
     # one jitted callable per variant, shared by timing and noisy sections
     # (a fresh vmap closure per call would recompile the identical program)

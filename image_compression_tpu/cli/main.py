@@ -37,6 +37,8 @@ def cmd_compress(args):
     from image_compression_tpu.train.checkpoint import load_params
 
     cfg = _load_config(args)
+    if getattr(args, "pack", False):
+        cfg.slice_container = "pack"
     params = load_params(args.checkpoint) if args.checkpoint else None
     classical = EdgeTarget(args.classical) if args.classical else None
     dirs = compress_directory(cfg, params=params, limit=args.limit,
@@ -102,6 +104,9 @@ def main(argv=None):
     p.add_argument("--classical", choices=[e.value for e in EdgeTarget],
                    help="classical extractor instead of the U-Net")
     p.add_argument("--limit", type=int, help="max images")
+    p.add_argument("--pack", action="store_true",
+                   help="one SLPK container file per image instead of a "
+                        "directory of slice PNGs (reassemble reads both)")
     p.set_defaults(fn=cmd_compress)
 
     p = sub.add_parser("reassemble", help="rebuild from slices (reassemble.cpp)")

@@ -124,6 +124,9 @@ class Config:
     cache_dir: str = "./.cache/imagecompression"
     image_format: str = "png"
     compression_level: int = 4    # PNG/zlib level (configuration.h:11)
+    slice_container: str = "files"  # "files" = reference layout (one PNG per
+    #                                 slice + metadata.bin); "pack" = one
+    #                                 SLPK file per image (io/pack.py)
     edge_target: EdgeTarget = EdgeTarget.GRAPH
     image_size: int = 256         # training resolution (training.cpp:85-86)
 

@@ -56,25 +56,35 @@ def load_image(path: str | pathlib.Path) -> np.ndarray:
     channels, matching to_f32c3_01_or_throw, compress.cpp:10-35).
     """
     path = pathlib.Path(path)
-    if path.suffix.lower() == ".png":
+    return decode_image_bytes(path.read_bytes(),
+                              is_png=path.suffix.lower() == ".png")
+
+
+def decode_image_bytes(data: bytes, is_png: bool | None = None) -> np.ndarray:
+    """Decode image bytes with load_image's exact fallback chain (the pack
+    container hands slice PNGs over as in-memory bytes, io/pack.py)."""
+    if is_png is None:
+        is_png = data[:8] == b"\x89PNG\r\n\x1a\n"
+    if is_png:
         from image_compression_tpu.io import native
         if native.available():
             try:
-                arr = native.decode_png(path.read_bytes())
+                arr = native.decode_png(data)
                 if arr.shape[2] == 2:
                     arr = _la_to_rgba(arr)
                 return arr
             except ValueError:
                 pass  # unsupported PNG flavor: fall through
         from image_compression_tpu.io import pypng
-        arr = pypng.try_decode(path.read_bytes())
+        arr = pypng.try_decode(data)
         if arr is not None:
             if arr.ndim == 3 and arr.shape[2] == 2:
                 arr = _la_to_rgba(arr)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             return np.ascontiguousarray(arr)
-    with Image.open(path) as im:
+    import io as _io
+    with Image.open(_io.BytesIO(data)) as im:
         if im.mode in ("RGB", "RGBA", "L"):
             arr = np.asarray(im)
         elif im.mode == "LA":
@@ -118,6 +128,26 @@ def write_image(path: str | pathlib.Path, image_hwc_u8: np.ndarray,
         return True
     except OSError:
         return False
+
+
+def encode_image_bytes(image_hwc_u8: np.ndarray,
+                       compression_level: int = 4) -> bytes:
+    """PNG bytes for an image (the in-memory form of write_image; the pack
+    container stores these verbatim, io/pack.py)."""
+    arr = np.ascontiguousarray(image_hwc_u8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    from image_compression_tpu.io import native
+    if native.available():
+        return native.encode_png(arr, compression_level)
+    if arr.dtype == np.uint16:
+        from image_compression_tpu.io import pypng
+        return pypng.encode(arr, compression_level)
+    import io as _io
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG",
+                              compress_level=compression_level)
+    return buf.getvalue()
 
 
 def to_float01_rgb(image_hwc_u8: np.ndarray) -> np.ndarray:

@@ -49,6 +49,8 @@ def load_library():
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ctypes.c_int]
     lib.pngio_write_slices.restype = ctypes.c_int
+    lib.pngio_write_slices_pack.argtypes = lib.pngio_write_slices.argtypes
+    lib.pngio_write_slices_pack.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -112,9 +114,11 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def write_slices_native(image_rgba_u8: np.ndarray, labels_hw: np.ndarray,
-                        out_dir: str, level: int = 4,
-                        n_threads: int = 0) -> int:
-    """Parallel native slicer: returns number of slices written."""
+                        out_path: str, level: int = 4,
+                        n_threads: int = 0, pack: bool = False) -> int:
+    """Parallel native slicer: returns number of slices written. pack=True
+    writes ONE "SLPK" container file at out_path instead of a directory of
+    slice PNGs + metadata.bin (identical bytes inside; io/pack.py)."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
@@ -122,10 +126,11 @@ def write_slices_native(image_rgba_u8: np.ndarray, labels_hw: np.ndarray,
     labels = np.ascontiguousarray(labels_hw, np.int32)
     h, w = labels.shape
     assert img.shape == (h, w, 4), img.shape
-    rc = lib.pngio_write_slices(
+    fn = lib.pngio_write_slices_pack if pack else lib.pngio_write_slices
+    rc = fn(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        h, w, str(out_dir).encode(), level, n_threads)
+        h, w, str(out_path).encode(), level, n_threads)
     if rc < 0:
         raise RuntimeError("pngio_write_slices failed")
     return rc

@@ -2,7 +2,9 @@
 
 Reads metadata.bin plus the per-segment slice PNGs and composites them onto a
 transparent canvas at their recorded positions; alpha>0 selects segment
-pixels. The inverse of io/slicer.py — round-trips bit-exactly.
+pixels. The inverse of io/slicer.py — round-trips bit-exactly. Accepts both
+the reference's loose layout (a directory of slice_<label>.png +
+metadata.bin) and the single-file pack container (io/pack.py).
 """
 
 from __future__ import annotations
@@ -12,14 +14,23 @@ import sys
 
 import numpy as np
 
-from image_compression_tpu.io.image_io import ensure_rgba, load_image, write_image
+from image_compression_tpu.io.image_io import (decode_image_bytes,
+                                               ensure_rgba, load_image,
+                                               write_image)
 from image_compression_tpu.io.metadata import read_metadata_binary
 
 
 def reassemble_array(slice_dir: str | pathlib.Path) -> np.ndarray:
-    """Composite all slices in a directory into an RGBA canvas."""
+    """Composite all slices (loose directory or pack file) onto a canvas."""
     slice_dir = pathlib.Path(slice_dir)
-    records, width, height = read_metadata_binary(slice_dir / "metadata.bin")
+    from image_compression_tpu.io.pack import is_pack, read_pack
+    blob_by_name: dict[str, bytes] | None = None
+    if is_pack(slice_dir):
+        records, blobs, width, height = read_pack(slice_dir)
+        blob_by_name = {m.filename: b for m, b in zip(records, blobs)}
+    else:
+        records, width, height = read_metadata_binary(
+            slice_dir / "metadata.bin")
     if not records:
         raise ValueError("No slices in metadata")
 
@@ -30,14 +41,18 @@ def reassemble_array(slice_dir: str | pathlib.Path) -> np.ndarray:
             print(f"Warning: empty filename for label {m.label}, skipping",
                   file=sys.stderr)
             continue
-        path = slice_dir / m.filename
-        if not path.exists():
-            # the reference resolves filenames relative to the cwd
-            # (reassemble.cpp:58); try that as a fallback
-            path = pathlib.Path(m.filename)
         try:
-            piece = ensure_rgba(load_image(path))
-        except (OSError, ValueError):
+            if blob_by_name is not None:
+                piece = ensure_rgba(decode_image_bytes(
+                    blob_by_name[m.filename]))
+            else:
+                path = slice_dir / m.filename
+                if not path.exists():
+                    # the reference resolves filenames relative to the cwd
+                    # (reassemble.cpp:58); try that as a fallback
+                    path = pathlib.Path(m.filename)
+                piece = ensure_rgba(load_image(path))
+        except (OSError, ValueError, KeyError):
             print(f"Warning: failed to load slice '{m.filename}', skipping",
                   file=sys.stderr)
             continue

@@ -61,12 +61,17 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
                  file_directory_name: str | pathlib.Path,
                  image_format: str = "png", compression_level: int = 4,
                  max_workers: int | None = None,
-                 use_native: bool | None = None) -> bool:
+                 use_native: bool | None = None,
+                 container: str = "files") -> bool:
     """Write one PNG per segment plus metadata.bin (image_slicer.cpp:81-130).
 
-    Files land in output_path/file_directory_name/slice_<label>.png;
-    metadata.bin is byte-compatible with the reference. Uses the native C++
-    slicer+encoder (native/pngio.cpp) when built, unless use_native=False.
+    container="files" (the reference layout): files land in
+    output_path/file_directory_name/slice_<label>.png; metadata.bin is
+    byte-compatible with the reference. container="pack" writes the same
+    bytes into ONE file output_path/<file_directory_name>.pack (io/pack.py)
+    — one file create instead of K+1; `reassemble` reads both. Uses the
+    native C++ slicer+encoder (native/pngio.cpp) when built, unless
+    use_native=False.
 
     Only "png" is a valid image_format: the lossless-round-trip contract
     requires it (the reference's write_image also forces IMAGE_FORMAT="png",
@@ -77,8 +82,16 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
         raise ValueError(
             f"write_slices supports only image_format='png' (lossless "
             f"round-trip contract), got {image_format!r}")
-    out_dir = pathlib.Path(output_path) / file_directory_name
-    out_dir.mkdir(parents=True, exist_ok=True)
+    if container not in ("files", "pack"):
+        raise ValueError(f"unknown container: {container!r}")
+    pack = container == "pack"
+    if pack:
+        out_target = (pathlib.Path(output_path)
+                      / f"{file_directory_name}.pack")
+        out_target.parent.mkdir(parents=True, exist_ok=True)
+    else:
+        out_target = pathlib.Path(output_path) / file_directory_name
+        out_target.mkdir(parents=True, exist_ok=True)
 
     image_rgba = ensure_rgba(np.asarray(image_hwc_u8))
     labels_hw = np.asarray(labels_hw)
@@ -88,31 +101,42 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
         from image_compression_tpu.io import native
         if native.available() and labels_hw.min() >= 0 and \
                 labels_hw.max() < np.iinfo(np.int32).max:
-            n = native.write_slices_native(image_rgba, labels_hw, out_dir,
+            n = native.write_slices_native(image_rgba, labels_hw, out_target,
                                            compression_level,
-                                           max_workers or 0)
+                                           max_workers or 0, pack=pack)
             return n >= 0
         if use_native:
             raise RuntimeError("native slicer requested but unavailable")
 
     boxes = compute_bounding_boxes(labels_hw)
 
-    def _write_one(label: int) -> tuple[bool, SliceMetadata]:
+    def _write_one(label: int) -> tuple[bool, SliceMetadata, bytes | None]:
         box = boxes[label]
         piece = slice_image(image_rgba, labels_hw, label, box)
         filename = f"slice_{label}.{image_format}"
-        ok = write_image(out_dir / filename, piece, compression_level)
-        return ok, SliceMetadata(label=label, filename=filename,
-                                 x=box[0], y=box[1],
-                                 width=box[2], height=box[3])
+        meta = SliceMetadata(label=label, filename=filename,
+                             x=box[0], y=box[1],
+                             width=box[2], height=box[3])
+        if pack:
+            from image_compression_tpu.io.image_io import encode_image_bytes
+            return True, meta, encode_image_bytes(piece, compression_level)
+        return write_image(out_target / filename, piece,
+                           compression_level), meta, None
 
     workers = max_workers or min(32, (os.cpu_count() or 1))
     success = True
     metadata: list[SliceMetadata] = []
+    blobs: list[bytes] = []
     with concurrent.futures.ThreadPoolExecutor(workers) as pool:
-        for ok, meta in pool.map(_write_one, sorted(boxes)):
+        for ok, meta, blob in pool.map(_write_one, sorted(boxes)):
             success = success and ok
             metadata.append(meta)
+            blobs.append(blob)
 
-    write_metadata_binary(metadata, out_dir / "metadata.bin", w_img, h_img)
+    if pack:
+        from image_compression_tpu.io.pack import write_pack
+        write_pack(out_target, metadata, blobs, w_img, h_img)
+    else:
+        write_metadata_binary(metadata, out_target / "metadata.bin",
+                              w_img, h_img)
     return success

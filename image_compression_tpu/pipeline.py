@@ -79,12 +79,15 @@ def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
                            hier_caps=mc.hier_caps, hier_agg=mc.hier_agg)
     labels = np.asarray(labels)
     out_dirs = []
+    pack = cfg.slice_container == "pack"
     for img, lab, name in zip(images_u8, labels, names):
         if name is None:  # batch padding entry
             continue
         write_slices(img, lab.astype(np.int64), results_dir, name,
-                     cfg.image_format, cfg.compression_level)
-        out_dirs.append(pathlib.Path(results_dir) / name)
+                     cfg.image_format, cfg.compression_level,
+                     container=cfg.slice_container)
+        out_dirs.append(pathlib.Path(results_dir)
+                        / (f"{name}.pack" if pack else name))
     return out_dirs
 
 

@@ -346,14 +346,18 @@ int pngio_decode(const uint8_t* data, size_t len, uint8_t* out, int* height,
     return 0;
 }
 
-// Slice an RGBA image by a label map and write slice_<label>.png files plus
-// metadata.bin into out_dir, in parallel. Returns the number of slices
-// written, or -1 on error. Mirrors write_slices (image_slicer.cpp:81-130)
-// with one vectorized bbox pass instead of per-label O(K*H*W) scans.
-int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
-                       int height, int width, const char* out_dir,
-                       int level, int n_threads) {
-    if (!img_rgba || !labels || !out_dir) return -1;
+// Slice an RGBA image by a label map and write the slices in parallel.
+// pack=0: slice_<label>.png files + metadata.bin into out_path (a
+// directory) — mirrors write_slices (image_slicer.cpp:81-130) with one
+// vectorized bbox pass instead of per-label O(K*H*W) scans. pack=1: ONE
+// container file at out_path holding the identical bytes (the "SLPK"
+// format of io/pack.py) — one file create instead of K+1, the host-side
+// lever bench_host_scaling.py identified. Returns the number of slices
+// written, or -1 on error.
+static int write_slices_impl(const uint8_t* img_rgba, const int32_t* labels,
+                             int height, int width, const char* out_path,
+                             int level, int n_threads, int pack) {
+    if (!img_rgba || !labels || !out_path) return -1;
 
     // one pass: bbox per label
     int32_t max_label = 0;
@@ -382,6 +386,8 @@ int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
         if (x1[lab] >= 0) present.push_back(lab);
 
     metas.resize(present.size());
+    std::vector<std::vector<uint8_t>> blobs;  // pack mode: PNGs in memory
+    if (pack) blobs.resize(present.size());
     std::atomic<size_t> next{0};
     std::atomic<bool> ok{true};
 
@@ -415,10 +421,15 @@ int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
             }
             std::string fname =
                 "slice_" + std::to_string(lab) + ".png";
-            std::string path = std::string(out_dir) + "/" + fname;
-            FILE* f = std::fopen(path.c_str(), "wb");
-            if (!f || std::fwrite(png, 1, png_len, f) != png_len) ok = false;
-            if (f) std::fclose(f);
+            if (pack) {
+                blobs[i].assign(png, png + png_len);
+            } else {
+                std::string path = std::string(out_path) + "/" + fname;
+                FILE* f = std::fopen(path.c_str(), "wb");
+                if (!f || std::fwrite(png, 1, png_len, f) != png_len)
+                    ok = false;
+                if (f) std::fclose(f);
+            }
             pngio_free(png);
             metas[i] = Meta{lab, x0[lab], y0[lab], bw, bh, fname};
         }
@@ -433,22 +444,64 @@ int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
     for (auto& t : threads) t.join();
     if (!ok) return -1;
 
-    // metadata.bin, byte-compatible with metadata.cpp:4-34
-    std::string mpath = std::string(out_dir) + "/metadata.bin";
-    FILE* f = std::fopen(mpath.c_str(), "wb");
-    if (!f) return -1;
+    // metadata payload, byte-compatible with metadata.cpp:4-34
+    std::vector<uint8_t> meta;
     uint32_t header[4] = {0x534C4943, (uint32_t)metas.size(), (uint32_t)width,
                           (uint32_t)height};
-    std::fwrite(header, 4, 4, f);
+    meta.insert(meta.end(), (uint8_t*)header, (uint8_t*)(header + 4));
     for (const auto& m : metas) {
         int32_t fixed[5] = {m.label, m.x, m.y, m.w, m.h};
         uint16_t flen = (uint16_t)m.filename.size();
-        std::fwrite(fixed, 4, 5, f);
-        std::fwrite(&flen, 2, 1, f);
-        std::fwrite(m.filename.data(), 1, flen, f);
+        meta.insert(meta.end(), (uint8_t*)fixed, (uint8_t*)(fixed + 5));
+        meta.insert(meta.end(), (uint8_t*)&flen, (uint8_t*)(&flen + 1));
+        meta.insert(meta.end(), m.filename.data(),
+                    m.filename.data() + flen);
+    }
+
+    if (!pack) {
+        std::string mpath = std::string(out_path) + "/metadata.bin";
+        FILE* f = std::fopen(mpath.c_str(), "wb");
+        if (!f) return -1;
+        if (std::fwrite(meta.data(), 1, meta.size(), f) != meta.size()) {
+            std::fclose(f);
+            return -1;
+        }
+        std::fclose(f);
+        return (int)metas.size();
+    }
+
+    // pack container: "SLPK" | u32 version | u64 meta_len | meta |
+    // per record: u64 png_len | png  (io/pack.py wire format)
+    FILE* f = std::fopen(out_path, "wb");
+    if (!f) return -1;
+    bool wok = std::fwrite("SLPK", 1, 4, f) == 4;
+    uint32_t version = 1;
+    wok = wok && std::fwrite(&version, 4, 1, f) == 1;
+    uint64_t meta_len = meta.size();
+    wok = wok && std::fwrite(&meta_len, 8, 1, f) == 1;
+    wok = wok && std::fwrite(meta.data(), 1, meta.size(), f) == meta.size();
+    for (const auto& blob : blobs) {
+        uint64_t blen = blob.size();
+        wok = wok && std::fwrite(&blen, 8, 1, f) == 1;
+        wok = wok && std::fwrite(blob.data(), 1, blob.size(), f) ==
+                         blob.size();
     }
     std::fclose(f);
-    return (int)metas.size();
+    return wok ? (int)metas.size() : -1;
+}
+
+int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
+                       int height, int width, const char* out_dir,
+                       int level, int n_threads) {
+    return write_slices_impl(img_rgba, labels, height, width, out_dir, level,
+                             n_threads, 0);
+}
+
+int pngio_write_slices_pack(const uint8_t* img_rgba, const int32_t* labels,
+                            int height, int width, const char* pack_path,
+                            int level, int n_threads) {
+    return write_slices_impl(img_rgba, labels, height, width, pack_path,
+                             level, n_threads, 1);
 }
 
 }  // extern "C"
