@@ -80,6 +80,23 @@ def main():
             }
         cpu1 = wl["workers_1"]["cpu_ms_per_img"] / 1000
         wl["cores_for_500_img_s"] = round(cpu1 * 500, 1)
+        # pack container (io/pack.py): same bytes, ONE file create per
+        # image instead of K+1 — the file-system share of the host cost
+        shutil.rmtree(staging, ignore_errors=True)
+        staging.mkdir(parents=True)
+        write_slices(images[0], labels[0], staging, "warm", container="pack")
+        t0w, t0c = time.perf_counter(), time.process_time()
+        for i, (img, lab) in enumerate(zip(images, labels)):
+            write_slices(img, lab, staging, f"p{i}", container="pack",
+                         max_workers=1)
+        wl["pack_workers_1"] = {
+            "wall_ms_per_img": round(
+                (time.perf_counter() - t0w) / args.images * 1000, 2),
+            "cpu_ms_per_img": round(
+                (time.process_time() - t0c) / args.images * 1000, 2),
+        }
+        cpu1p = wl["pack_workers_1"]["cpu_ms_per_img"] / 1000
+        wl["pack_cores_for_500_img_s"] = round(cpu1p * 500, 1)
         report[wl_name] = wl
         shutil.rmtree(staging, ignore_errors=True)
     print(json.dumps({"metric": "host_slice_scaling", **report}))
