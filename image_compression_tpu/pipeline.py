@@ -63,21 +63,25 @@ def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
     return jax.vmap(fn)(costs_bhw2)
 
 
-def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
-                    cfg: Config, results_dir: str | pathlib.Path,
-                    names: list[str]) -> list[pathlib.Path]:
-    """Compress a list of equally-sized uint8 HWC images: batch on device,
-    slice + write on host. Returns the per-image output directories."""
+def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
+                   cfg: Config) -> jnp.ndarray:
+    """Dispatch the device half of compress for one batch; returns the
+    (asynchronous) labels array — fetching it waits for this batch only."""
     batch = jnp.asarray(np.stack([to_float01_rgb(im) for im in images_u8]))
     costs = cost_fn(batch)
     mc = cfg.multicut
-    labels = segment_batch(costs, mode=mc.mode,
-                           max_rounds=mc.max_rounds,
-                           icm_sweeps=mc.icm_sweeps,
-                           hier_rounds=(tuple(mc.hier_rounds)
-                                        if mc.hier_rounds else None),
-                           hier_caps=mc.hier_caps, hier_agg=mc.hier_agg)
-    labels = np.asarray(labels)
+    return segment_batch(costs, mode=mc.mode,
+                         max_rounds=mc.max_rounds,
+                         icm_sweeps=mc.icm_sweeps,
+                         hier_rounds=(tuple(mc.hier_rounds)
+                                      if mc.hier_rounds else None),
+                         hier_caps=mc.hier_caps, hier_agg=mc.hier_agg)
+
+
+def _write_batch(images_u8: list[np.ndarray], labels: np.ndarray,
+                 cfg: Config, results_dir: str | pathlib.Path,
+                 names: list[str | None]) -> list[pathlib.Path]:
+    """Host half of compress for one batch: slice + write."""
     out_dirs = []
     pack = cfg.slice_container == "pack"
     for img, lab, name in zip(images_u8, labels, names):
@@ -89,6 +93,15 @@ def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
         out_dirs.append(pathlib.Path(results_dir)
                         / (f"{name}.pack" if pack else name))
     return out_dirs
+
+
+def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
+                    cfg: Config, results_dir: str | pathlib.Path,
+                    names: list[str]) -> list[pathlib.Path]:
+    """Compress a list of equally-sized uint8 HWC images: batch on device,
+    slice + write on host. Returns the per-image output directories."""
+    labels = np.asarray(_device_labels(images_u8, cost_fn, cfg))
+    return _write_batch(images_u8, labels, cfg, results_dir, names)
 
 
 def image_dims(path: pathlib.Path) -> tuple[int, int]:
@@ -135,14 +148,25 @@ def compress_directory(cfg: Config, params=None, limit: int | None = None,
     for path in paths:
         by_shape.setdefault(image_dims(path), []).append(path)
 
+    # Device and host run overlapped, exactly like the benched pipeline
+    # (bench.py): batch i+1's device programs are dispatched BEFORE batch
+    # i's labels are fetched and sliced on the host, so the host writes
+    # while the device computes. e2e throughput is max(device, host)
+    # instead of their sum.
     out = []
+    pending = None  # (images, names, async labels) of the previous batch
     for shape, group in sorted(by_shape.items()):
         for i in range(0, len(group), batch_size):
             chunk = group[i:i + batch_size]
             imgs = [load_image(p) for p in chunk]
             pad = batch_size - len(chunk) if len(group) > batch_size else 0
-            out += compress_arrays(imgs + imgs[-1:] * pad, cost_fn, cfg,
-                                   cfg.results_dir,
-                                   [p.stem for p in chunk]
-                                   + [None] * pad)[:len(chunk)]
+            labels = _device_labels(imgs + imgs[-1:] * pad, cost_fn, cfg)
+            names = [p.stem for p in chunk] + [None] * pad
+            if pending is not None:
+                out += _write_batch(pending[0], np.asarray(pending[2]),
+                                    cfg, cfg.results_dir, pending[1])
+            pending = (imgs + imgs[-1:] * pad, names, labels)
+    if pending is not None:
+        out += _write_batch(pending[0], np.asarray(pending[2]),
+                            cfg, cfg.results_dir, pending[1])
     return out
