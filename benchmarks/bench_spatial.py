@@ -62,7 +62,8 @@ def main():
     solve = functools.partial(multicut_grid, mode=mc.mode,
                               icm_sweeps=mc.icm_sweeps,
                               hier_rounds=tuple(mc.hier_rounds),
-                              hier_caps=mc.hier_caps)
+                              hier_caps=mc.hier_caps,
+                              hier_agg=mc.hier_agg)
     costs = jnp.asarray(make_costs(size))
 
     if args.cpu_mesh:
@@ -78,7 +79,8 @@ def main():
         cs = jax.device_put(costs, NamedSharding(mesh, P("data")))
         got = np.asarray(multicut_grid_spatial(
             cs, mesh, mode=mc.mode,
-            rounds_per_level=tuple(mc.hier_rounds), caps=mc.hier_caps))
+            rounds_per_level=tuple(mc.hier_rounds), caps=mc.hier_caps,
+            agg=mc.hier_agg))
         equal = bool(np.array_equal(got, expected))
 
         # strip-local fraction of pixel-space one-hot work: each level costs
