@@ -49,18 +49,21 @@ class MulticutConfig:
     """Grid multicut solver settings (replaces RAMA's multicut_solver_options).
 
     The defaults are the PRODUCTION profile tuned on TPU
-    (benchmarks/profile_hier.py): lean hierarchy rounds + half slot caps and
-    no ICM run the 256px solve in 1.5 ms/img at a certified optimality gap
-    of 0.014% (vs 4.4 ms/img at 0.011% for the conservative profile
-    icm_sweeps=8 / hier_rounds=None / hier_caps=None, which remains
-    multicut_grid's own function default)."""
+    (benchmarks/profile_hier.py): lean hierarchy rounds + flat-64 slot caps
+    + slot-space matrix aggregation and no ICM run the 256px solve in
+    0.70 ms/img at a certified optimality gap of 0.017% (vs 7.3 ms/img at
+    0.011% for the conservative profile icm_sweeps=8 / hier_rounds=None /
+    hier_caps=None, which remains multicut_grid's own function default).
+    The matrix agg's [T, S, S] pair matmuls want the FLAT cap schedule:
+    with "half" caps (S up to several hundred at coarse levels) the same
+    agg measures 2.4 ms/img on TPU — caps and agg are a coupled choice."""
 
     max_rounds: int = 3           # full-phase re-aggregation rounds (fixpoint bound)
     mode: str = "chain"           # chain | mutual | random_mate | hybrid
     icm_sweeps: int = 0           # local-move refinement sweeps after contraction
     matchings_per_round: int = 4  # matching passes per cost re-aggregation
     hier_rounds: tuple = (2, 1)   # dense-hierarchy rounds/level (last repeats)
-    hier_caps: str | None = "half"  # lean_caps preset | None = default caps
+    hier_caps: str | None = "flat64"  # lean_caps preset | None = default caps
     hier_agg: str = "matrix"      # slot-space pair-matrix aggregation (same
     #                               merges as "pixel" at a fraction of the
     #                               work; ops/multicut_hier.py)
