@@ -114,6 +114,12 @@ class RLConfig:
     #   value: a small conv net predicts the per-image reward; adv = r - V(x)
     value_lr: float = 1e-3        # value-net optimizer (baseline="value")
     value_loss_coef: float = 1.0  # logged only; the nets are trained separately
+    ppo_epochs: int = 0           # 0 = plain REINFORCE update (reference
+    #   parity); K >= 1 runs K clipped-surrogate gradient steps per sampled
+    #   batch (train/policy.py::ppo_clip_loss), reusing the solver+reward
+    #   results — the multicut solve dominates the step, so extra policy
+    #   epochs are nearly free. K=1 reproduces the REINFORCE gradient.
+    ppo_clip: float = 0.2         # per-edge ratio clip window (1 +- clip)
 
 
 @dataclasses.dataclass

@@ -60,6 +60,10 @@ class HierResult(NamedTuple):
     top_slots: int          # slot cap at the top level (static)
     minpix: jnp.ndarray | None = None  # [T_top, S] f32 min pixel id per live
     #                         slot (agg="matrix" only; pixel ids < 2^24 exact)
+    pair: jnp.ndarray | None = None  # [T_top, S, S] f32 aggregated pair-cost
+    #                         matrix (agg="matrix" only) — lets the spatially
+    #                         sharded continuation resume in slot space
+    #                         without a pixel-space rebuild
 
 
 def _to_tiles(img: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -412,11 +416,19 @@ def _hier_gaec_matrix(costs_f32, sides, caps, rounds_per_level, mode,
     sentinel = float(n)
 
     if init_state is not None:
-        rank_img, ncand, frozen, final_gid, overflow = init_state
-        prev = start_level - 1
-        sym = _pair_from_pixels(rank_img, costs_f32, sides[prev],
-                                int(caps[prev]))
-        m = _minpix_from_pixels(rank_img, sides[prev], int(caps[prev]))
+        if len(init_state) == 7:
+            # native slot-space handoff (parallel/spatial.py with
+            # agg="matrix"): the strips carried their pair matrices and
+            # min-pixel vectors, so the continuation is bit-identical to an
+            # unsharded matrix run — no pixel-space rebuild, no regrouping
+            (rank_img, ncand, frozen, final_gid, overflow, sym,
+             m) = init_state
+        else:
+            rank_img, ncand, frozen, final_gid, overflow = init_state
+            prev = start_level - 1
+            sym = _pair_from_pixels(rank_img, costs_f32, sides[prev],
+                                    int(caps[prev]))
+            m = _minpix_from_pixels(rank_img, sides[prev], int(caps[prev]))
         first = start_level
     else:
         overflow = jnp.int32(0)
@@ -445,7 +457,7 @@ def _hier_gaec_matrix(costs_f32, sides, caps, rounds_per_level, mode,
         rank_img = _apply_slot_map(rank_img, cmap, s, slots)
 
     return HierResult(rank_img, ncand, frozen, final_gid, overflow,
-                      sides[-1], int(caps[-1]), minpix=m)
+                      sides[-1], int(caps[-1]), minpix=m, pair=sym)
 
 
 def plan_levels(height: int, width: int, base: int = 8) -> list[int]:
@@ -511,7 +523,12 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
     (rank_img, ncand, frozen, final_gid, overflow) exactly as the loop
     carries them after finishing level start_level - 1; sides/caps/rounds
     must be the FULL image's plan so the resumed levels merge identically
-    to an unsharded run.
+    to an unsharded run. With agg="matrix" a 7-tuple
+    (..., pair, minpix) hands the slot-space state over natively (the
+    strips' carried pair matrices + min-pixel vectors in global pixel ids),
+    skipping the pixel-space rebuild entirely — the resumed run is then
+    bit-identical to an unsharded matrix run; the 5-tuple form rebuilds
+    pair/minpix from pixel state instead.
 
     agg selects the pair-cost aggregation: "pixel" recomputes the dense
     pair matrix from pixel-space one-hot matmuls every round; "matrix"

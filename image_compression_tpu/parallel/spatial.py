@@ -89,10 +89,12 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
     strip height) then continue from the gathered state via hier_gaec's
     start_level entry; their merges involve cross-strip regions and run on
     the gathered (replicated) state. Per-device pixel-space work for the
-    local levels drops by n_devices; the coarse continuation is the same
-    O(H*W*S_top) as unsharded; agg="matrix" (ops/multicut_hier.py) runs
-    that continuation in slot space — one pair-matrix rebuild from the
-    gathered state, then only [T, S, S] matmuls per round.
+    local levels drops by n_devices; agg="matrix" (ops/multicut_hier.py)
+    runs that continuation in slot space with the strips' carried pair
+    matrices and min-pixel vectors handed over NATIVELY (no pixel-space
+    rebuild at all — only [T, S, S] matmuls and one slot-map apply per
+    level remain above the strips), making the sharded matrix solve
+    bit-identical to the unsharded one by construction.
 
     Labels equal multicut_grid(costs, icm_sweeps=0)'s exactly, including
     frozen regions: freezing labels a region by its smallest pixel index,
@@ -121,10 +123,13 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
     n_local = len(plan_levels(h_loc, width, 8))  # strictly strip-local levels
     rpl = list(rounds_per_level) if rounds_per_level is not None else None
 
+    matrix = agg == "matrix"
+    n_out = 6 if matrix else 4
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=P(axis_name),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)))
+        out_specs=tuple([P(axis_name)] * n_out))
     def local_levels(costs_strip):
         res = hier_gaec(costs_strip, mode=mode,
                         rounds_per_level=rpl[:n_local] if rpl else None,
@@ -135,14 +140,33 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
         strip = jax.lax.axis_index(axis_name)
         gid = jnp.where(res.frozen,
                         strip * h_loc * width + res.final_gid, 0)
-        return res.rank_img, res.n_regions[None, :], res.frozen, gid
+        if not matrix:
+            return res.rank_img, res.n_regions[None, :], res.frozen, gid
+        # native slot-space handoff: translate the strips' min-pixel vectors
+        # to global pixel ids (live slots shift by the strip's first pixel
+        # index — exact in f32 below 2^24; dead slots take the global
+        # sentinel H*W) and ship the carried pair matrices as-is. Tiles are
+        # row-major, strips hold consecutive row blocks, so stacking strips
+        # along the tile axis IS the global tile order.
+        local_sentinel = float(h_loc * width)
+        m_global = jnp.where(
+            res.minpix < local_sentinel,
+            res.minpix + (strip * h_loc * width).astype(jnp.float32),
+            float(height * width))
+        return (res.rank_img, res.n_regions[None, :], res.frozen, gid,
+                res.pair, m_global)
 
-    rank_img, ncand_2d, frozen, final_gid = local_levels(costs_hw2)
+    out = local_levels(costs_hw2)
+    rank_img, ncand_2d, frozen, final_gid = out[:4]
     # gathered per-tile live counts, global row-major tile order: each strip
     # contributed one [T_loc] row, strips stack along axis 0
     ncand = ncand_2d.reshape(-1)
     state = (rank_img, ncand, frozen, final_gid,
              jnp.int32(0))  # overflow restarts; strips counted theirs
+    if matrix:
+        # 7-tuple init_state: the continuation resumes in slot space with no
+        # pixel rebuild and is bit-identical to the unsharded matrix run
+        state = state + (out[4], out[5])
     res = hier_gaec(costs_hw2, mode=mode, rounds_per_level=rpl, caps=caps_full,
                     start_level=n_local, init_state=state, agg=agg)
     return smallest_pixel_labels(res)

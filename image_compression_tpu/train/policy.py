@@ -102,3 +102,40 @@ def reinforce_loss(adv: jnp.ndarray, sample: PolicySample, num_edges: int,
     e = float(num_edges)
     return (-(adv * (sample.logp / e)).mean()
             - entropy_coef * (sample.entropy / e).mean())
+
+
+def gaussian_logp_elem(w: jnp.ndarray, mu: jnp.ndarray,
+                       sigma: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge log-density [B, E] (unreduced; the PPO surrogate clips per
+    edge, so it needs the elementwise terms gaussian_logp sums away)."""
+    z = (w - mu) / sigma
+    return -0.5 * z * z - jnp.log(sigma) - 0.5 * LOG_2PI
+
+
+def ppo_clip_loss(adv: jnp.ndarray, w: jnp.ndarray, mu: jnp.ndarray,
+                  sigma: jnp.ndarray, logp_old_elem: jnp.ndarray,
+                  num_edges: int, clip: float = 0.2,
+                  entropy_coef: float = 1e-4) -> jnp.ndarray:
+    """Per-edge clipped PPO surrogate with the shared per-image advantage
+    (cfg.rl.ppo_epochs > 0; documented divergence — the reference has no
+    proximal variant, training.cpp:183-186).
+
+    The action here is a ~1.3e5-dimensional edge-cost vector: the JOINT
+    ratio exp(sum_e dlogp_e) saturates any clip window after one finite
+    update, so the surrogate clips PER EDGE with the image's advantage
+    shared across its edges:
+
+      L = -mean_{b,e} min(rho_be * adv_b, clip(rho_be, 1±eps) * adv_b)
+          - c * mean_b(entropy_b / E)
+
+    At the first inner epoch rho == 1 and the gradient equals
+    `reinforce_loss`'s exactly; later epochs reuse the (expensive) solver
+    sample while the clip bounds how far the policy moves per edge.
+    """
+    logp_elem = gaussian_logp_elem(w, mu, sigma)
+    rho = jnp.exp(logp_elem - logp_old_elem)
+    un = rho * adv[:, None]
+    cl = jnp.clip(rho, 1.0 - clip, 1.0 + clip) * adv[:, None]
+    ent_elem = 0.5 * (1.0 + LOG_2PI) + jnp.log(sigma)
+    return (-jnp.minimum(un, cl).mean()
+            - entropy_coef * (ent_elem.sum(-1) / float(num_edges)).mean())

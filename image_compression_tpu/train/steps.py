@@ -38,6 +38,8 @@ from image_compression_tpu.train.metrics import edge_metrics
 from image_compression_tpu.train.policy import (antithetic_advantage,
                                                 ema_baseline_update,
                                                 gaussian_logp,
+                                                gaussian_logp_elem,
+                                                ppo_clip_loss,
                                                 reinforce_loss,
                                                 sample_antithetic_policy,
                                                 sample_gaussian_policy,
@@ -141,6 +143,9 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
     (2B solves, per-image reward variance cancels in the pair difference);
     baseline="value" subtracts `value_model`'s per-image reward prediction
     (trained jointly with `value_tx`) instead of the scalar EMA.
+    cfg.rl.ppo_epochs > 0 replaces the single REINFORCE update with K
+    per-edge-clipped proximal steps reusing the batch's solver sample
+    (policy.py::ppo_clip_loss); K=1 reproduces the REINFORCE gradient.
     """
     r = cfg.rl
     mc = cfg.multicut
@@ -209,7 +214,8 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
         return w, rewards
 
     @jax.jit
-    def update_program(state: RLState, w, images, rewards):
+    def update_program(state: RLState, w, images, rewards, mu_old,
+                       sigma_old):
         # the EMA tracks mean reward in every mode (metric surface parity
         # with training.cpp:196-204 even when it isn't the baseline)
         baseline, binit = ema_baseline_update(
@@ -247,9 +253,35 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
             pol = gaussian_logp(w, mu, sigma)
             return reinforce_loss(adv, pol, mu.shape[-1], r.entropy_coef)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if r.ppo_epochs > 0:
+            # proximal variant (cfg.rl.ppo_epochs, documented divergence):
+            # K clipped-surrogate steps reuse this batch's solver sample.
+            # logp_old comes from the SAMPLING distribution (mu_old/sigma_old
+            # out of forward_program — inputs here, so no gradient path).
+            if antithetic:
+                mu_old = jnp.concatenate([mu_old, mu_old], axis=0)
+                sigma_old = jnp.concatenate([sigma_old, sigma_old], axis=0)
+            logp_old_elem = gaussian_logp_elem(w, mu_old, sigma_old)
+
+            def ppo_loss_fn(params):
+                mu, sigma = _policy_forward(model, params, images, cfg)
+                if antithetic:
+                    mu = jnp.concatenate([mu, mu], axis=0)
+                    sigma = jnp.concatenate([sigma, sigma], axis=0)
+                return ppo_clip_loss(adv, w, mu, sigma, logp_old_elem,
+                                     mu.shape[-1], r.ppo_clip,
+                                     r.entropy_coef)
+
+            params, opt_state = state.params, state.opt_state
+            for _ in range(r.ppo_epochs):
+                loss, grads = jax.value_and_grad(ppo_loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = RLState(params, opt_state, state.step + 1, baseline,
                             binit, value_params, value_opt)
         aux = {"loss": loss, "reward_mean": rewards.mean(),
@@ -262,7 +294,7 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
         mu, sigma = forward_program(state.params, images)
         w, rewards = solve_reward_program(key, state.step, mu, sigma, images,
                                           image_sizes, height, width)
-        return update_program(state, w, images, rewards)
+        return update_program(state, w, images, rewards, mu, sigma)
 
     return step
 

@@ -118,6 +118,41 @@ def test_rl_step_smoke(rng):
                                rtol=1e-6)
 
 
+def test_rl_step_ppo(rng):
+    """cfg.rl.ppo_epochs: K=1's clipped surrogate reproduces the REINFORCE
+    gradient (ratio == 1 at the first inner epoch), so the updated params
+    must match the plain step's; K=3 runs and moves params further."""
+    import dataclasses
+
+    cfg = small_cfg()
+    model = EdgeUNet(dtype=jnp.float32)
+    tx = make_rl_optimizer(cfg)
+    images = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    sizes = jnp.asarray([900.0, 1100.0])
+    params = model.init(jax.random.PRNGKey(0), images[:1])
+    state = init_rl_state(params, tx)
+
+    outs = {}
+    for k in (0, 1, 3):
+        cfg_k = dataclasses.replace(cfg, rl=dataclasses.replace(
+            cfg.rl, ppo_epochs=k))
+        step = make_rl_step(model, tx, cfg_k)
+        new_state, aux = step(state, jax.random.PRNGKey(7), images, sizes)
+        assert np.isfinite(float(aux["loss"]))
+        outs[k] = new_state
+    # identical sample + advantage (same key/state); K=1 grad == REINFORCE
+    for p0, p1 in zip(jax.tree.leaves(outs[0].params),
+                      jax.tree.leaves(outs[1].params)):
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                   rtol=2e-4, atol=2e-6)
+    # K=3 actually takes further steps
+    moved = any(
+        not np.allclose(np.asarray(p1), np.asarray(p3), atol=1e-7)
+        for p1, p3 in zip(jax.tree.leaves(outs[1].params),
+                          jax.tree.leaves(outs[3].params)))
+    assert moved
+
+
 def test_rl_eval_deterministic(rng):
     cfg = small_cfg()
     model = EdgeUNet(dtype=jnp.float32)

@@ -292,6 +292,50 @@ def test_matrix_agg_resume_matches_pixel_resume():
     np.testing.assert_array_equal(out["pixel"], out["matrix"])
 
 
+def test_matrix_state_handoff_matches_unsharded():
+    """The 7-tuple init_state (native slot-space handoff: strips carry their
+    pair matrices + min-pixel vectors, parallel/spatial.py) resumes the
+    matrix hierarchy with the SAME arithmetic an unsharded run performs, so
+    labels must be bit-identical even on REAL-VALUED costs (where the
+    5-tuple pixel rebuild is only f32-regrouping-equal)."""
+    from image_compression_tpu.ops.multicut_hier import (
+        default_caps, hier_gaec, plan_levels, smallest_pixel_labels)
+
+    rng = np.random.default_rng(13)
+    costs_np = rng.normal(size=(64, 64, 2)).astype(np.float32)
+    caps = default_caps(plan_levels(64, 64, 8))
+    h_loc = 16
+    n_local = len(plan_levels(h_loc, 64, 8))
+    parts = []
+    for k in range(4):  # emulate 4 strips (parallel/spatial.py flow)
+        r = hier_gaec(jnp.asarray(costs_np[k * h_loc:(k + 1) * h_loc]),
+                      caps=caps[:n_local], rounds_per_level=[3, 2],
+                      agg="matrix")
+        gid = np.where(np.asarray(r.frozen),
+                       k * h_loc * 64 + np.asarray(r.final_gid), 0)
+        m = np.asarray(r.minpix)
+        m_global = np.where(m < h_loc * 64, m + k * h_loc * 64,
+                            float(64 * 64))
+        parts.append((np.asarray(r.rank_img), np.asarray(r.n_regions),
+                      np.asarray(r.frozen), gid, np.asarray(r.pair),
+                      m_global))
+    state = tuple(
+        jnp.asarray(np.concatenate([p[i] for p in parts], 0))
+        for i in range(4)) + (jnp.int32(0),) + tuple(
+        jnp.asarray(np.concatenate([p[i] for p in parts], 0))
+        for i in (4, 5))
+    resumed = hier_gaec(jnp.asarray(costs_np), caps=caps,
+                        rounds_per_level=[3, 2], start_level=n_local,
+                        init_state=state, agg="matrix")
+    unsharded = hier_gaec(jnp.asarray(costs_np), caps=caps,
+                          rounds_per_level=[3, 2], agg="matrix")
+    np.testing.assert_array_equal(
+        np.asarray(smallest_pixel_labels(resumed)),
+        np.asarray(smallest_pixel_labels(unsharded)))
+    np.testing.assert_array_equal(np.asarray(resumed.n_regions),
+                                  np.asarray(unsharded.n_regions))
+
+
 def test_matrix_agg_through_multicut_grid():
     """hier_agg="matrix" through the public entry: trivial invariants and
     the minlabel contract, on square / non-square / padded shapes."""
