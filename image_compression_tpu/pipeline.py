@@ -148,25 +148,31 @@ def compress_directory(cfg: Config, params=None, limit: int | None = None,
     for path in paths:
         by_shape.setdefault(image_dims(path), []).append(path)
 
-    # Device and host run overlapped, exactly like the benched pipeline
-    # (bench.py): batch i+1's device programs are dispatched BEFORE batch
-    # i's labels are fetched and sliced on the host, so the host writes
-    # while the device computes. e2e throughput is max(device, host)
-    # instead of their sum.
+    # Device and host run overlapped on both seams, exactly like the benched
+    # pipeline (bench.py): batch i+1's device programs are dispatched BEFORE
+    # batch i is consumed on the host, and batch i+1's device->host label
+    # fetch (network-bound through the relay, GIL-released) runs in a worker
+    # thread while the main thread slices batch i (CPU-bound). e2e
+    # throughput is max(device, fetch, host) instead of their sum.
+    from concurrent.futures import ThreadPoolExecutor
+
     out = []
-    pending = None  # (images, names, async labels) of the previous batch
-    for shape, group in sorted(by_shape.items()):
-        for i in range(0, len(group), batch_size):
-            chunk = group[i:i + batch_size]
-            imgs = [load_image(p) for p in chunk]
-            pad = batch_size - len(chunk) if len(group) > batch_size else 0
-            labels = _device_labels(imgs + imgs[-1:] * pad, cost_fn, cfg)
-            names = [p.stem for p in chunk] + [None] * pad
-            if pending is not None:
-                out += _write_batch(pending[0], np.asarray(pending[2]),
-                                    cfg, cfg.results_dir, pending[1])
-            pending = (imgs + imgs[-1:] * pad, names, labels)
-    if pending is not None:
-        out += _write_batch(pending[0], np.asarray(pending[2]),
-                            cfg, cfg.results_dir, pending[1])
+    pending = None  # (images, names, future of fetched labels)
+    with ThreadPoolExecutor(1) as pool:
+        for shape, group in sorted(by_shape.items()):
+            for i in range(0, len(group), batch_size):
+                chunk = group[i:i + batch_size]
+                imgs = [load_image(p) for p in chunk]
+                pad = (batch_size - len(chunk)
+                       if len(group) > batch_size else 0)
+                labels = _device_labels(imgs + imgs[-1:] * pad, cost_fn, cfg)
+                fut = pool.submit(np.asarray, labels)
+                names = [p.stem for p in chunk] + [None] * pad
+                if pending is not None:
+                    out += _write_batch(pending[0], pending[2].result(),
+                                        cfg, cfg.results_dir, pending[1])
+                pending = (imgs + imgs[-1:] * pad, names, fut)
+        if pending is not None:
+            out += _write_batch(pending[0], pending[2].result(),
+                                cfg, cfg.results_dir, pending[1])
     return out
