@@ -157,19 +157,36 @@ def main():
         labels_u16, _counts, sizes = step_out
         return np.asarray(labels_u16).astype(np.int64), float(jnp.sum(sizes))
 
+    # Pre-staged distinct inputs + ONE sync program per timing round: the
+    # naive loop's `images + 0.0001*i` bump and per-iter `jnp.sum`
+    # accumulator are each their OWN dispatched programs (~20 ms floor each
+    # through the relay, CLAUDE.md) — 2 extra floors per iteration that a
+    # production pipeline never pays. The timed loop below dispatches
+    # exactly the pipeline's programs per batch; one chained-sum program at
+    # the end syncs the whole round.
+    _bump = jax.jit(lambda x, c: x + c)
+
+    def make_round_inputs(images_dev, n_iters):
+        xs = [_bump(images_dev, jnp.float32(1e-4 * i))
+              for i in range(n_iters)]
+        float(jnp.sum(xs[-1][0, 0, 0]))   # stage before timing
+        return xs
+
+    @jax.jit
+    def _sync_sum(outs):
+        return sum(jnp.sum(leaf.astype(jnp.float32))
+                   for out in outs for leaf in jax.tree.leaves(out))
+
     def device_rate(compress_step, params, images_dev, batch, n_iters=5):
         """Steady-state device-pipeline rate: one full throwaway timing
         round first (the relay runs the first ~5 executions of a program
         10-50x slower than steady state, CLAUDE.md), then measure."""
+        xs = make_round_inputs(images_dev, n_iters)
+
         def round_():
             t0 = time.perf_counter()
-            acc = jnp.float32(0)
-            for i in range(n_iters):
-                _l, counts, sizes = compress_step(
-                    params, images_dev + 0.0001 * i)
-                acc = acc + (jnp.sum(counts).astype(jnp.float32)
-                             + jnp.sum(sizes))
-            float(acc)
+            outs = [compress_step(params, x) for x in xs]
+            float(_sync_sum(outs))
             return (time.perf_counter() - t0) / n_iters
 
         round_()                         # steady-state warm-up round
@@ -217,13 +234,12 @@ def main():
     # stats+estimator rows above are the EXTENDED pipeline (size prediction
     # on device); this row times what compress actually does.
     def parity_rate(params, images_dev, batch, n_iters=5):
+        xs = make_round_inputs(images_dev, n_iters)
+
         def round_():
             t0 = time.perf_counter()
-            acc = jnp.float32(0)
-            for i in range(n_iters):
-                labels_u16 = segment_program(params, images_dev + 0.0001 * i)
-                acc = acc + jnp.sum(labels_u16.astype(jnp.float32))
-            float(acc)
+            outs = [segment_program(params, x) for x in xs]
+            float(_sync_sum(outs))
             return (time.perf_counter() - t0) / n_iters
 
         round_()                         # steady-state warm-up round
