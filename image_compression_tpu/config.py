@@ -48,15 +48,20 @@ class RewardConfig:
 class MulticutConfig:
     """Grid multicut solver settings (replaces RAMA's multicut_solver_options).
 
-    The defaults are the PRODUCTION profile tuned on TPU
-    (benchmarks/profile_hier.py): lean hierarchy rounds + flat-64 slot caps
-    + slot-space matrix aggregation and no ICM run the 256px solve in
-    0.70 ms/img at a certified optimality gap of 0.017% (vs 7.3 ms/img at
-    0.011% for the conservative profile icm_sweeps=8 / hier_rounds=None /
-    hier_caps=None, which remains multicut_grid's own function default).
-    The matrix agg's [T, S, S] pair matmuls want the FLAT cap schedule:
-    with "half" caps (S up to several hundred at coarse levels) the same
-    agg measures 2.4 ms/img on TPU — caps and agg are a coupled choice."""
+    The defaults are the PRODUCTION profile tuned on TPU at the production
+    batch size (benchmarks/profile_batch.py, batch 128 marginal): lean
+    hierarchy rounds + flat-64 slot caps + PIXEL aggregation and no ICM run
+    the 256px solve in 1.03 ms/img at a certified optimality gap of 0.017%
+    (vs 7.3 ms/img at 0.011% for the conservative profile icm_sweeps=8 /
+    hier_rounds=None / hier_caps=None, which remains multicut_grid's own
+    function default). Batch size changes the agg ranking: round-3's
+    mid-round "matrix 0.70 ms/img" was a batch-8 marginal figure; at batch
+    128 the same matrix profile measures 1.77 ms/img (1.54 with the fused
+    Pallas leaf) vs pixel's 1.03 — both paths are VPU-compute-bound there
+    and the matrix path's [T, S, S] round/transition elementwise volume
+    exceeds the pixel path's, so hier_agg="pixel" is the deployment
+    default. "matrix" remains the right choice for the spatially sharded
+    solve (native slot-space strip handoff, parallel/spatial.py)."""
 
     max_rounds: int = 3           # full-phase re-aggregation rounds (fixpoint bound)
     mode: str = "chain"           # chain | mutual | random_mate | hybrid
@@ -64,9 +69,11 @@ class MulticutConfig:
     matchings_per_round: int = 4  # matching passes per cost re-aggregation
     hier_rounds: tuple = (2, 1)   # dense-hierarchy rounds/level (last repeats)
     hier_caps: str | None = "flat64"  # lean_caps preset | None = default caps
-    hier_agg: str = "matrix"      # slot-space pair-matrix aggregation (same
-    #                               merges as "pixel" at a fraction of the
-    #                               work; ops/multicut_hier.py)
+    hier_agg: str = "pixel"       # pixel re-aggregation | "matrix" slot-space
+    #                               pair matrices (same merges either way;
+    #                               ops/multicut_hier.py)
+    hier_leaf: str = "auto"       # matrix agg only: fused Pallas leaf for
+    #                               levels 0-1 (ops/multicut_leaf.py)
 
 
 @dataclasses.dataclass

@@ -16,12 +16,33 @@ import numpy as np
 _LIB_PATH = (pathlib.Path(__file__).resolve().parent.parent.parent
              / "native" / "libpngio.so")
 _lib = None
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """One-time best-effort `make -C native`: the .so is untracked, so a
+    fresh checkout silently fell back to the ~4x-slower pure-Python encoder
+    until someone remembered to build (this cost one benchmark run its
+    host-side headline). Failures are ignored — every caller has a
+    fallback."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", str(_LIB_PATH.parent)],
+                       capture_output=True, timeout=120, check=False)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
 
 
 def load_library():
     global _lib
     if _lib is not None:
         return _lib
+    if not _LIB_PATH.exists():
+        _try_build()
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))

@@ -233,7 +233,7 @@ def _contract_rounds(root0, endpoints_fn, w, n, *, max_rounds, mode,
                                     "presolve_rounds", "boundary_rounds",
                                     "return_rounds", "hier",
                                     "hier_rounds", "hier_caps",
-                                    "hier_agg"))
+                                    "hier_agg", "hier_leaf"))
 def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                   mode: str = "chain", icm_sweeps: int = 8,
                   matchings_per_round: int = 4, tile: int = 16,
@@ -242,7 +242,8 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                   hier: bool = True,
                   hier_rounds: tuple[int, ...] | None = None,
                   hier_caps: tuple[int, ...] | str | None = None,
-                  hier_agg: str = "pixel") -> jnp.ndarray:
+                  hier_agg: str = "pixel",
+                  hier_leaf: str = "auto") -> jnp.ndarray:
     """Solve multicut on the 4-connected grid.
 
     Multilevel greedy additive edge contraction (GAEC), the TPU mapping of
@@ -284,6 +285,9 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
       hier_agg: "pixel" re-aggregates pair costs from pixel-space one-hot
         matmuls every round; "matrix" carries the pair matrix as slot-space
         state (same merges, a fraction of the work — ops/multicut_hier.py).
+      hier_leaf: "auto" | "fused" | "xla" — whether the matrix agg runs
+        hierarchy levels 0-1 in the fused Pallas kernel
+        (ops/multicut_leaf.py; same merges, VMEM-resident operands).
 
     Returns:
       labels: [H, W] int32; cluster id = smallest pixel index in the cluster.
@@ -355,7 +359,7 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
                             boundary_rounds=boundary_rounds,
                             return_rounds=return_rounds, hier=True,
                             hier_rounds=hier_rounds, hier_caps=hier_caps,
-                            hier_agg=hier_agg)
+                            hier_agg=hier_agg, hier_leaf=hier_leaf)
         if return_rounds:
             labels_p, rounds = out
         else:
@@ -370,7 +374,7 @@ def multicut_grid(costs_hw2: jnp.ndarray, max_rounds: int = 3,
         caps = (lean_caps(hier_sides, hier_caps)
                 if isinstance(hier_caps, str) else hier_caps)
         res = hier_gaec(costs_f32, mode=mode, rounds_per_level=hier_rounds,
-                        caps=caps, agg=hier_agg)
+                        caps=caps, agg=hier_agg, leaf=hier_leaf)
         labels = smallest_pixel_labels(res)
         rounds = jnp.asarray(0)
         if res.top_tile != height or res.top_tile != width:

@@ -37,8 +37,10 @@ real cost fields; `hier_gaec` reports how many regions froze.
 Precision: pair matmuls use bf16 one-hots carrying bf16-rounded edge weights
 with float32 MXU accumulation (documented divergence: weights quantized to
 bf16, <0.4% each, for half the HBM traffic — merge decisions are threshold
-comparisons and the final objective is evaluated in f32). Id-valued lookups
-use f32 one-hots: ids < 2^24 are exact.
+comparisons and the final objective is evaluated in f32). Pixel-id-valued
+lookups use f32 one-hots (ids < 2^24 exact); rank-valued lookups and
+gating-only one-hots use bf16 (integers <= 256 and 0/1 are exact in bf16,
+at half the [T, P, S] pixel-space traffic — `_take_ranks`).
 """
 
 from __future__ import annotations
@@ -90,6 +92,20 @@ def _take_slots(vec: jnp.ndarray, idx: jnp.ndarray, slots: int) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
+def _take_ranks(vec: jnp.ndarray, idx: jnp.ndarray, slots: int) -> jnp.ndarray:
+    """_take_slots for RANK-VALUED vec: bf16 one-hot and values with f32
+    accumulation — exact because ranks are integers < slots <= 256 (all
+    integers <= 256 are bf16-representable) and one-hot rows are 0/1, but
+    half the HBM traffic of the f32 one-hot on the [T, P, S] pixel-space
+    applies. Falls back to f32 when slots > 256 (deep default_caps levels
+    reach 320, where e.g. 257 is not bf16-representable)."""
+    if slots > 256:
+        return _take_slots(vec, idx, slots)
+    oh = jax.nn.one_hot(idx, slots, dtype=jnp.bfloat16)
+    return jnp.einsum("tis,ts->ti", oh, vec.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
 def _level_weights(costs_hw2: jnp.ndarray, s: int) -> jnp.ndarray:
     """Edge weights [T, E] for one level: all grid edges, zeroed where the
     edge crosses a supertile boundary (those activate at higher levels) or is
@@ -120,9 +136,16 @@ def _edge_endpoint_ranks(rank_img: jnp.ndarray,
 
 def _dense_rounds(rank_img: jnp.ndarray, w_e: jnp.ndarray, s: int,
                   slots: int, rounds: int, mode: str,
-                  level_salt: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  level_salt: int,
+                  identity_first: bool = False) -> tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
     """GAEC rounds at one level. rank_img [H, W] with ranks in [0, slots).
-    Returns (rank_img, n_alive [T]) with ranks re-compacted to be dense."""
+    Returns (rank_img, n_alive [T]) with ranks re-compacted to be dense.
+
+    identity_first: entry ranks are the identity (level 0, fresh start), so
+    round 0's pair matrix needs no one-hot aggregation at all — it is the
+    horizontal weights on the +1 band and the vertical weights on the +s
+    band (one edge per pair => bitwise equal to the einsum)."""
     height, width = rank_img.shape
     t_count = (height // s) * (width // s)
     ids = jnp.arange(slots, dtype=jnp.int32)[None, :]  # [1, S]
@@ -130,6 +153,19 @@ def _dense_rounds(rank_img: jnp.ndarray, w_e: jnp.ndarray, s: int,
     w_bf = w_e.astype(jnp.bfloat16)
 
     def one_round(r, rank_img):
+        if identity_first and r == 0 and slots == s * s:
+            whb = w_bf[:, :s * s].astype(jnp.float32)   # zeroed at crossings
+            wvb = w_bf[:, s * s:].astype(jnp.float32)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (slots, slots), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (slots, slots), 1)
+            band_r = ((cc == rr + 1) & (rr % s != s - 1)
+                      ).astype(jnp.float32)              # p -> p+1
+            band_d = (cc == rr + s).astype(jnp.float32)  # p -> p+s
+            sym = (whb[:, :, None] * band_r[None]
+                   + wvb[:, :, None] * band_d[None]
+                   + whb[:, None, :] * band_r.T[None]
+                   + wvb[:, None, :] * band_d.T[None])
+            return _round_body(r, rank_img, sym)
         a, b = _edge_endpoint_ranks(rank_img, s)
         active = (a != b) & (w_e != 0.0)
         we = jnp.where(active, w_bf, jnp.bfloat16(0))
@@ -140,7 +176,9 @@ def _dense_rounds(rank_img: jnp.ndarray, w_e: jnp.ndarray, s: int,
         pair = jnp.einsum("tea,teb->tab", oh_aw, oh_b,
                           preferred_element_type=jnp.float32)
         sym = pair + jnp.swapaxes(pair, 1, 2)  # [T, S, S]
+        return _round_body(r, rank_img, sym)
 
+    def _round_body(r, rank_img, sym):
         best = jnp.max(sym, axis=-1)                        # [T, S]
         partner = jnp.argmax(sym, axis=-1).astype(jnp.int32)
         merge = best > 0.0
@@ -172,7 +210,7 @@ def _dense_rounds(rank_img: jnp.ndarray, w_e: jnp.ndarray, s: int,
         # frozen pixels (rank -1, all-zero one-hot row) stay frozen
         ranks_t = _to_tiles(rank_img, s)
         new_t = jnp.where(ranks_t < 0, -1,
-                          _take_slots(nxt_f, ranks_t, slots).astype(jnp.int32))
+                          _take_ranks(nxt_f, ranks_t, slots).astype(jnp.int32))
         return _from_tiles(new_t, height, width, s)
 
     for r in range(rounds):
@@ -180,13 +218,14 @@ def _dense_rounds(rank_img: jnp.ndarray, w_e: jnp.ndarray, s: int,
 
     # --- compact: re-rank live slots densely --------------------------------
     ranks_t = _to_tiles(rank_img, s)
-    # a slot is live iff some non-frozen pixel carries it
-    alive = jnp.max(jax.nn.one_hot(ranks_t, slots, dtype=jnp.float32),
+    # a slot is live iff some non-frozen pixel carries it (0/1 one-hot is
+    # exact in bf16; halves the [T, P, S] pixel-space traffic)
+    alive = jnp.max(jax.nn.one_hot(ranks_t, slots, dtype=jnp.bfloat16),
                     axis=1) > 0                             # [T, S]
     new_rank = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
     n_alive = new_rank[:, -1] + 1
     g = jnp.where(ranks_t < 0, -1,
-                  _take_slots(new_rank.astype(jnp.float32), ranks_t,
+                  _take_ranks(new_rank.astype(jnp.float32), ranks_t,
                               slots).astype(jnp.int32))
     return _from_tiles(g, height, width, s), n_alive
 
@@ -240,7 +279,9 @@ def _minpix_from_pixels(rank_img: jnp.ndarray, s: int,
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
     pix_t = _to_tiles(ys * width + xs, s).astype(jnp.float32)
-    oh = jax.nn.one_hot(_to_tiles(rank_img, s), slots, dtype=jnp.float32)
+    # the one-hot only gates the masked min (oh > 0): 0/1 is exact in
+    # bf16 at half the [T, P, S] traffic
+    oh = jax.nn.one_hot(_to_tiles(rank_img, s), slots, dtype=jnp.bfloat16)
     return jnp.min(jnp.where(oh > 0, pix_t[..., None], float(n)), axis=1)
 
 
@@ -404,16 +445,49 @@ def _apply_slot_map(rank_img: jnp.ndarray, cmap: jnp.ndarray, s: int,
     height, width = rank_img.shape
     ranks_t = _to_tiles(rank_img, s)
     new_t = jnp.where(ranks_t < 0, -1,
-                      _take_slots(cmap, ranks_t, slots).astype(jnp.int32))
+                      _take_ranks(cmap, ranks_t, slots).astype(jnp.int32))
     return _from_tiles(new_t, height, width, s)
 
 
 def _hier_gaec_matrix(costs_f32, sides, caps, rounds_per_level, mode,
-                      start_level, init_state) -> HierResult:
+                      start_level, init_state, leaf="auto") -> HierResult:
     """agg="matrix" driver; see hier_gaec for the contract."""
     height, width = costs_f32.shape[:2]
     n = height * width
     sentinel = float(n)
+
+    fused_ok = (init_state is None and mode == "chain" and len(sides) >= 2
+                and sides[0] == 8 and int(caps[0]) == 64
+                and int(caps[1]) <= 256)
+    if leaf == "fused" and not fused_ok:
+        raise ValueError("leaf='fused' needs mode='chain', base 8, "
+                         f"caps[0]=64 and >=2 levels; got sides={sides} "
+                         f"caps={list(caps)[:2]} mode={mode}")
+    if fused_ok and leaf in ("auto", "fused"):
+        # levels 0-1 in one Pallas kernel (ops/multicut_leaf.py): identical
+        # merge decisions with the one-hot operands kept in VMEM — the XLA
+        # loop below continues from level 2 on the state it returns
+        import jax as _jax
+
+        from image_compression_tpu.ops.multicut_leaf import leaf_levels_fused
+
+        (rank_img, ncand, frozen, final_gid, overflow, sym,
+         m) = leaf_levels_fused(
+            costs_f32, int(caps[1]), int(rounds_per_level[0]),
+            int(rounds_per_level[1]),
+            interpret=_jax.default_backend() == "cpu")
+        for i in range(2, len(sides)):
+            s, slots = sides[i], int(caps[i])
+            (rank_img, sym, m, frozen, final_gid,
+             overflow) = _matrix_transition(
+                rank_img, ncand, sym, m, frozen, final_gid, overflow,
+                costs_f32, sides[i - 1], int(caps[i - 1]), s, slots)
+            sym, m, cmap, ncand = _matrix_rounds(
+                sym, m, slots, int(rounds_per_level[i]), mode, 1000 * i,
+                sentinel)
+            rank_img = _apply_slot_map(rank_img, cmap, s, slots)
+        return HierResult(rank_img, ncand, frozen, final_gid, overflow,
+                          sides[-1], int(caps[-1]), minpix=m, pair=sym)
 
     if init_state is not None:
         if len(init_state) == 7:
@@ -509,7 +583,7 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
               caps: Sequence[int] | None = None,
               start_level: int = 0,
               init_state: tuple | None = None,
-              agg: str = "pixel") -> HierResult:
+              agg: str = "pixel", leaf: str = "auto") -> HierResult:
     """Run the dense hierarchy over all divisible levels.
 
     Returns per-pixel region ranks within the top-level supertile plus the
@@ -536,6 +610,12 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
     child-matrix embedding + mid-line edges per level) — the same merge
     decisions at a fraction of the pixel-space work (bit-identical on
     integer-valued costs; f32-regrouping differences otherwise).
+
+    leaf (agg="matrix" only) selects how levels 0-1 run: "auto" uses the
+    fused Pallas kernel (ops/multicut_leaf.py) whenever applicable
+    (mode="chain", base 8, fresh start), "fused" requires it, "xla" keeps
+    the pure-XLA loop. Same merges either way (bit-identical on
+    integer-valued costs; f32-regrouping differences on real costs).
     """
     height, width = costs_hw2.shape[:2]
     sides = plan_levels(height, width, base)
@@ -568,7 +648,7 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
     costs_f32 = costs_hw2.astype(jnp.float32)
     if agg == "matrix":
         return _hier_gaec_matrix(costs_f32, sides, caps, rounds_per_level,
-                                 mode, start_level, init_state)
+                                 mode, start_level, init_state, leaf=leaf)
     n = height * width
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
@@ -613,7 +693,8 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
             prev_slots = int(caps[i - 1])
             ranks_pt = _to_tiles(rank_img, prev_s)
             pix_pt = _to_tiles(ys * width + xs, prev_s).astype(jnp.float32)
-            oh_p = jax.nn.one_hot(ranks_pt, prev_slots, dtype=jnp.float32)
+            # gating-only one-hot (oh > 0): bf16 is exact for 0/1
+            oh_p = jax.nn.one_hot(ranks_pt, prev_slots, dtype=jnp.bfloat16)
             mins_p = jnp.min(jnp.where(oh_p > 0, pix_pt[..., None], float(n)),
                              axis=1)
             minpix_t = _take_slots(mins_p, jnp.maximum(ranks_pt, 0),
@@ -631,7 +712,7 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
         w_e = _level_weights(costs_f32, s)
         rank_img, ncand = _dense_rounds(
             rank_img, w_e, s, slots, int(rounds_per_level[i]), mode,
-            level_salt=1000 * i)
+            level_salt=1000 * i, identity_first=(i == 0))
 
     return HierResult(rank_img, ncand, frozen, final_gid, overflow,
                       sides[-1], int(caps[-1]))
@@ -672,7 +753,8 @@ def smallest_pixel_labels(res: HierResult) -> jnp.ndarray:
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
     pix_t = _to_tiles(ys * width + xs, s).astype(jnp.float32)
-    oh = jax.nn.one_hot(ranks_t, slots, dtype=jnp.float32)  # [T, P, S]
+    # gating-only one-hot (oh > 0): bf16 is exact for 0/1
+    oh = jax.nn.one_hot(ranks_t, slots, dtype=jnp.bfloat16)  # [T, P, S]
     masked = jnp.where(oh > 0, pix_t[..., None], float(n))
     mins = jnp.min(masked, axis=1)                          # [T, S]
     lab_t = _take_slots(mins, ranks_t, slots).astype(jnp.int32)

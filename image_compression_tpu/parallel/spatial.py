@@ -129,7 +129,11 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=P(axis_name),
-        out_specs=tuple([P(axis_name)] * n_out))
+        out_specs=tuple([P(axis_name)] * n_out),
+        # the fused Pallas leaf (ops/multicut_leaf.py) runs inside this
+        # shard_map; pallas_call outputs carry no varying-mesh-axes info,
+        # which check_vma=True rejects outright
+        check_vma=False)
     def local_levels(costs_strip):
         res = hier_gaec(costs_strip, mode=mode,
                         rounds_per_level=rpl[:n_local] if rpl else None,

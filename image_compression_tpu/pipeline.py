@@ -50,16 +50,19 @@ def learned_costs(model: EdgeUNet, params, images: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("mode", "max_rounds",
                                              "icm_sweeps", "hier_rounds",
-                                             "hier_caps", "hier_agg"))
+                                             "hier_caps", "hier_agg",
+                                             "hier_leaf"))
 def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
                   max_rounds: int = 64, icm_sweeps: int = 8,
                   hier_rounds: tuple | None = None,
                   hier_caps: str | None = None,
-                  hier_agg: str = "pixel") -> jnp.ndarray:
+                  hier_agg: str = "pixel",
+                  hier_leaf: str = "auto") -> jnp.ndarray:
     """Batched multicut over cost planes -> labels [B, H, W] int32."""
     fn = functools.partial(multicut_grid, mode=mode, max_rounds=max_rounds,
                            icm_sweeps=icm_sweeps, hier_rounds=hier_rounds,
-                           hier_caps=hier_caps, hier_agg=hier_agg)
+                           hier_caps=hier_caps, hier_agg=hier_agg,
+                           hier_leaf=hier_leaf)
     return jax.vmap(fn)(costs_bhw2)
 
 
@@ -75,7 +78,8 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
                          icm_sweeps=mc.icm_sweeps,
                          hier_rounds=(tuple(mc.hier_rounds)
                                       if mc.hier_rounds else None),
-                         hier_caps=mc.hier_caps, hier_agg=mc.hier_agg)
+                         hier_caps=mc.hier_caps, hier_agg=mc.hier_agg,
+                         hier_leaf=mc.hier_leaf)
 
 
 def _write_batch(images_u8: list[np.ndarray], labels: np.ndarray,
