@@ -65,7 +65,7 @@ def main():
                                                  squash_mu)
     from image_compression_tpu.ops.multicut import multicut_grid
     from image_compression_tpu.ops.png_estimator import \
-        estimate_segment_png_sizes_fast
+        estimate_segment_png_sizes_packed
     from image_compression_tpu.ops.segment_stats import segment_stats_minlabel
     from image_compression_tpu.train.checkpoint import load_params
 
@@ -107,42 +107,44 @@ def main():
         return labels.astype(jnp.uint16)
 
     def make_estimate_program(class_caps):
+        """class_caps are BATCH TOTALS per crop class: the packed estimator
+        pools slot capacity across the batch (the expensive full-image crop
+        class averages ~3 segments/img but peaks at ~6, so per-image caps
+        compute ~2x padding slots at full crop cost — ops/png_estimator.py
+        ::estimate_segment_png_sizes_packed)."""
         @jax.jit
         def estimate_program(images, labels_u16):
-            def stats_and_size(img, lab):
-                stats = segment_stats_minlabel(lab, 64)
-                rgba = jnp.concatenate(
-                    [(img * 255).astype(jnp.uint8),
-                     jnp.full((size, size, 1), 255, jnp.uint8)], axis=-1)
-                sizes = estimate_segment_png_sizes_fast(
-                    rgba, stats.inverse, stats.counts, stats.bboxes,
-                    stats.valid, class_caps=class_caps)
-                return stats.counts, sizes
-
-            return jax.vmap(stats_and_size)(images, labels_u16.astype(jnp.int32))
+            stats = jax.vmap(lambda lab: segment_stats_minlabel(lab, 64))(
+                labels_u16.astype(jnp.int32))
+            rgba = jnp.concatenate(
+                [(images * 255).astype(jnp.uint8),
+                 jnp.full(images.shape[:3] + (1,), 255, jnp.uint8)], axis=-1)
+            sizes = estimate_segment_png_sizes_packed(
+                rgba, stats.inverse, stats.counts, stats.bboxes,
+                stats.valid, class_caps=class_caps)
+            return stats.counts, sizes
         return estimate_program
 
     def derive_class_caps(labels_np, k_max=64):
-        """Workload-derived estimator crop caps (VERDICT r2 next #8): count
-        segments per bbox-side class over the warmup batch's real labels,
-        take the per-image max plus a 25% + 2 safety margin. Spill semantics
-        make a too-tight cap degrade gracefully (larger crop class first,
-        literal-only bound last), so the margin only guards exactness, not
-        correctness. Class grid must match estimate_segment_png_sizes_fast
-        for 256px inputs: sides (32, 64, 128) + full image."""
+        """Workload-derived estimator crop caps (VERDICT r2 next #8), as
+        BATCH TOTALS for the packed estimator: count segments per bbox-side
+        class over the warmup batch's real labels and add a 10% + 8 margin.
+        Spill semantics make a too-tight cap degrade gracefully (larger
+        crop class first, literal-only bound last), so the margin only
+        guards exactness, not correctness. Class grid must match the
+        estimator for 256px inputs: sides (32, 64, 128) + full image."""
         class_sizes = (32, 64, 128, 256)
-        worst = [0, 0, 0, 0]
+        total = [0, 0, 0, 0]
         for lab in labels_np:
-            per_img = [0, 0, 0, 0]
             for lab_id in np.unique(lab):
                 ys, xs = np.nonzero(lab == lab_id)
                 side = max(ys.max() - ys.min(), xs.max() - xs.min()) + 1
                 for c, s in enumerate(class_sizes):
                     if side <= s:
-                        per_img[c] += 1
+                        total[c] += 1
                         break
-            worst = [max(w, p) for w, p in zip(worst, per_img)]
-        return tuple(min(k_max, w + max(2, w // 4)) for w in worst)
+        batch = len(labels_np)
+        return tuple(min(batch * k_max, t + max(8, t // 10)) for t in total)
 
     def make_compress_step(estimate_program):
         def compress_step(params, images):
@@ -150,8 +152,6 @@ def main():
             counts, sizes = estimate_program(images, labels_u16)
             return labels_u16, counts, sizes
         return compress_step
-
-    compress_step_default = make_compress_step(make_estimate_program(None))
 
     def fetch(step_out):
         labels_u16, _counts, sizes = step_out
@@ -212,21 +212,26 @@ def main():
                          ("random_weights", params_random)):
         # warmup/compile + full sync via scalar fetch (block_until_ready
         # does not reliably drain the queue on this backend; a host fetch
-        # depending on the outputs does)
-        labels_np, _ = fetch(compress_step_default(params, images_head))
+        # depending on the outputs does). Labels alone determine the caps,
+        # so the warmup runs the parity program only.
+        labels_np = np.asarray(
+            segment_program(params, images_head)).astype(np.int64)
         labels_by_workload[name] = labels_np
         slices_per_img[name] = float(np.mean(
             [len(np.unique(l)) for l in labels_np]))
         # the timed program uses workload-derived estimator crop caps, the
-        # production configuration for a known deployment workload
+        # production configuration for a known deployment workload; packed
+        # caps are batch totals, so each batch size derives its own
         caps = derive_class_caps(labels_np)
         caps_by_workload[name] = caps
         step = make_compress_step(make_estimate_program(caps))
         steps_by_workload[name] = step
+        step32 = make_compress_step(
+            make_estimate_program(derive_class_caps(labels_np[:32])))
         results[f"device_b128_{name}"] = device_rate(
             step, params, images_head, batch_head)
         results[f"device_b32_{name}"] = device_rate(
-            step, params, images_32, 32)
+            step32, params, images_32, 32)
 
     # Reference-parity device pipeline: the reference's compress binary runs
     # U-Net -> multicut -> host slicing ONLY (compress.cpp:93-153 never calls

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_compression_tpu.ops.color import gaussian_blur
-from image_compression_tpu.ops.multicut_hier import (_from_tiles, _take_slots,
+from image_compression_tpu.ops.multicut_hier import (_from_tiles,
+                                                     _take_ranks,
+                                                     _take_slots,
                                                      _to_tiles, plan_levels)
 
 BIG = 1e9
@@ -203,7 +205,7 @@ def _felz_round(rank_img, int_img, w_planes, s: int, slots: int, k: float,
     new_int = jnp.maximum(new_int, 0.0)
 
     new_rank_t = jnp.where(ranks_t < 0, -1,
-                           _take_slots(nxt_f, ranks_t, slots)
+                           _take_ranks(nxt_f, ranks_t, slots)
                            .astype(jnp.int32))
     new_int_t = _take_slots(new_int, jnp.maximum(new_rank_t, 0), slots)
     if tiles:
@@ -221,12 +223,14 @@ def _compact(rank_img, s: int, slots: int, tiles: bool):
     height, width = rank_img.shape
     ranks_t = (_to_tiles(rank_img, s) if tiles
                else rank_img.reshape(1, -1))
-    alive = jnp.max(jax.nn.one_hot(ranks_t, slots, dtype=jnp.float32),
+    # gating-only / rank-valued one-hots in bf16 (exact: 0/1 and integers
+    # <= 256; _take_ranks falls back to f32 at the deep >256-slot levels)
+    alive = jnp.max(jax.nn.one_hot(ranks_t, slots, dtype=jnp.bfloat16),
                     axis=1) > 0
     new_rank = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
     n_alive = new_rank[:, -1] + 1
     g = jnp.where(ranks_t < 0, -1,
-                  _take_slots(new_rank.astype(jnp.float32), ranks_t,
+                  _take_ranks(new_rank.astype(jnp.float32), ranks_t,
                               slots).astype(jnp.int32))
     out = (_from_tiles(g, height, width, s) if tiles
            else g.reshape(height, width))

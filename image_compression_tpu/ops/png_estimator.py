@@ -131,7 +131,11 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
     # [P, C*256] one-hot costs P*1024 VPU compare/selects per slot (the
     # dominant estimator term at 256-crop slots); the factored form costs
     # P*32 plus a real matmul. Exact: 0/1 bf16 products accumulated in f32,
-    # counts <= P < 2^24.
+    # counts <= P < 2^24. (A [P, C*16]-packed variant computing all 4
+    # histograms as diagonal blocks of one [64, 64] matmul forces the
+    # one-hots to MATERIALIZE as matmul operands for every (image, slot) in
+    # flight — 36 GB at batch 128 — where this per-channel [16, 16] form
+    # fuses into a reduction; measured, do not repack.)
     res3 = res.reshape(height, width, channels).reshape(-1, channels)
     mask3 = in_bbox2.reshape(height, width, channels).reshape(-1, channels)
     nib = jnp.arange(16, dtype=jnp.int32)
@@ -390,3 +394,102 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
     ok_fb = overflow & (counts >= min_pixels)
     sizes = jnp.where(ok_fb, fallback, sizes)
     return jnp.where(valid, sizes, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_pixels", "l_min", "beta",
+                                    "b_match_token", "gamma", "overhead_base",
+                                    "adaptive_filter", "class_caps"))
+def estimate_segment_png_sizes_packed(imgs_u8: jnp.ndarray,
+                                      inverse: jnp.ndarray,
+                                      counts: jnp.ndarray,
+                                      bboxes: jnp.ndarray,
+                                      valid: jnp.ndarray, *,
+                                      class_caps: tuple,
+                                      min_pixels: int = 1, l_min: int = 4,
+                                      beta: float = 0.012167,
+                                      b_match_token: float = 18.0,
+                                      gamma: float = 0.1,
+                                      overhead_base: float = 9.308622,
+                                      adaptive_filter: bool = True
+                                      ) -> jnp.ndarray:
+    """Batch-packed estimator: `estimate_segment_png_sizes_fast` with the
+    crop-class slot caps shared across the WHOLE BATCH instead of per image.
+
+    imgs_u8 [B, H, W, C], inverse [B, H, W], counts/valid [B, k_max],
+    bboxes [B, k_max, 4]; class_caps are batch TOTALS per class. Returns
+    sizes [B, k_max].
+
+    Why: the evaluated slot count is static, so per-image caps must cover
+    the WORST image while the expensive large-crop classes are sparsely
+    occupied on average (bench workload: per-image max 6 full-image
+    segments, batch mean 3.0) — per-image packing computes padding slots at
+    full crop cost. Pooling the caps over the batch sizes capacity to the
+    batch SUM (law of large numbers), ~2x less top-class work at equal
+    coverage; measured 1.00 -> 0.53 ms/img at batch 128 on the trained
+    workload. Spill semantics are per-batch and batch-order dependent
+    (earlier images claim capacity first), but every evaluated slot's value
+    is bit-identical to the flat estimator's, and spilled slots degrade the
+    same way (larger crop class, then the literal-only bound).
+    """
+    batch, height, width, chans = imgs_u8.shape
+    k_max = counts.shape[1]
+    n_flat = batch * k_max
+    imgs_i32 = imgs_u8.astype(jnp.int32)
+
+    class_sizes = [s for s in (32, 64, 128, 256, 512)
+                   if 32 <= s < min(height, width)] + [max(height, width)]
+    class_crops = [(min(s, height), min(s, width)) for s in class_sizes]
+    n_classes = len(class_sizes)
+    if len(class_caps) != n_classes:
+        raise ValueError(f"class_caps needs {n_classes} entries "
+                         f"for {class_sizes}, got {class_caps}")
+    caps = [int(c) for c in class_caps]
+
+    bboxes_f = bboxes.reshape(n_flat, 4)
+    counts_f = counts.reshape(n_flat)
+    valid_f = valid.reshape(n_flat)
+    cls, rank, overflow = _classify_and_pack(bboxes_f, valid_f, class_sizes,
+                                             caps, n_flat)
+
+    fn = functools.partial(
+        _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
+        b_match_token=b_match_token, gamma=gamma,
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+
+    sizes = jnp.zeros((n_flat,), jnp.float32)
+    for c, (crop_h, crop_w) in enumerate(class_crops):
+        cap = caps[c]
+        in_c = cls == c
+        order = jnp.argsort(jnp.where(in_c, rank, n_flat + 1))
+        members = jnp.where(
+            jnp.arange(n_flat) < cap,
+            jnp.where(in_c[order], order, -1), -1)[:cap].astype(jnp.int32)
+
+        def one(slot):
+            ok = slot >= 0
+            slot_c = jnp.maximum(slot, 0)
+            b = slot_c // k_max
+            k = slot_c % k_max
+            bb = bboxes_f[slot_c]
+            y0 = jnp.clip(bb[1], 0, height - crop_h)
+            x0 = jnp.clip(bb[0], 0, width - crop_w)
+            img_crop = jax.lax.dynamic_slice(
+                imgs_i32, (b, y0, x0, 0), (1, crop_h, crop_w, chans))[0]
+            inv_crop = jax.lax.dynamic_slice(
+                inverse, (b, y0, x0), (1, crop_h, crop_w))[0]
+            bb_local = bb - jnp.stack([x0, y0, x0, y0])
+            return fn(img_crop, inv_crop, k, bb_local, counts_f[slot_c],
+                      valid_f[slot_c] & ok)
+
+        vals = jax.vmap(one)(members)
+        sizes = sizes.at[jnp.where(members >= 0, members, n_flat)].add(
+            vals, mode="drop")
+
+    w = (bboxes_f[:, 2] - bboxes_f[:, 0] + 1).astype(jnp.float32)
+    h = (bboxes_f[:, 3] - bboxes_f[:, 1] + 1).astype(jnp.float32)
+    n_total = w * h * chans
+    fallback = overhead_base + h + n_total * (8.0 + beta) / 8.0
+    ok_fb = overflow & (counts_f >= min_pixels)
+    sizes = jnp.where(ok_fb, fallback, sizes)
+    return jnp.where(valid_f, sizes, 0.0).reshape(batch, k_max)

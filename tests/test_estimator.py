@@ -273,3 +273,65 @@ def test_fast_estimator_custom_caps_exact(rng):
             jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
             stats.valid, class_caps=caps))
         np.testing.assert_allclose(fast, flat, rtol=1e-5)
+
+
+def test_packed_estimator_matches_flat(rng):
+    """Batch-packed estimator (caps pooled across the batch): bit-identical
+    to the per-image flat estimator when the pooled caps hold."""
+    from image_compression_tpu.ops.png_estimator import (
+        estimate_segment_png_sizes, estimate_segment_png_sizes_packed)
+    from image_compression_tpu.utils.random_partition import (
+        random_rect_partition)
+
+    batch = 3
+    imgs, invs, cnts, bbs, vals, flats = [], [], [], [], [], []
+    for b in range(batch):
+        img = rng.integers(0, 256, (64, 64, 4), np.uint8)
+        labels = random_rect_partition(64, 64, min_h=8, min_w=8,
+                                       min_rect_count=4, seed=10 + b)
+        stats = segment_stats(jnp.asarray(labels), 16)
+        flats.append(np.asarray(estimate_segment_png_sizes(
+            jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+            stats.valid)))
+        imgs.append(img)
+        invs.append(np.asarray(stats.inverse))
+        cnts.append(np.asarray(stats.counts))
+        bbs.append(np.asarray(stats.bboxes))
+        vals.append(np.asarray(stats.valid))
+
+    packed = np.asarray(estimate_segment_png_sizes_packed(
+        jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(invs)),
+        jnp.asarray(np.stack(cnts)), jnp.asarray(np.stack(bbs)),
+        jnp.asarray(np.stack(vals)),
+        class_caps=(batch * 16, batch * 16)))  # 64px images: classes (32, 64)
+    np.testing.assert_allclose(packed, np.stack(flats), rtol=1e-5)
+
+
+def test_packed_estimator_tight_caps_upper_bound(rng):
+    """Pooled caps that spill (and overflow the top class) must degrade to
+    values that never undercut the exact per-image estimate — identical
+    spill semantics to the per-image fast path, shared across the batch."""
+    from image_compression_tpu.ops.png_estimator import (
+        estimate_segment_png_sizes, estimate_segment_png_sizes_packed)
+
+    batch = 2
+    imgs, invs, cnts, bbs, vals, flats = [], [], [], [], [], []
+    for b in range(batch):
+        img = rng.integers(0, 256, (96, 96, 4), np.uint8)
+        base = rng.integers(0, 12, (6, 6))
+        labels = np.kron(base, np.ones((16, 16), int))
+        stats = segment_stats(jnp.asarray(labels), 16)
+        flats.append(np.asarray(estimate_segment_png_sizes(
+            jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+            stats.valid)))
+        imgs.append(img)
+        invs.append(np.asarray(stats.inverse))
+        cnts.append(np.asarray(stats.counts))
+        bbs.append(np.asarray(stats.bboxes))
+        vals.append(np.asarray(stats.valid))
+
+    packed = np.asarray(estimate_segment_png_sizes_packed(
+        jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(invs)),
+        jnp.asarray(np.stack(cnts)), jnp.asarray(np.stack(bbs)),
+        jnp.asarray(np.stack(vals)), class_caps=(4, 4, 3)))
+    assert (packed >= np.stack(flats) - 1e-3).all()
