@@ -13,7 +13,10 @@ import numpy as np
 
 def timed(fn, *args, iters=3):
     """block_until_ready does not reliably drain the queue on every backend;
-    chain all outputs into one scalar host fetch instead."""
+    chain all outputs into one scalar host fetch instead. A FULL timing
+    round runs as a throwaway first: the relay executes the first ~5 runs
+    of a compiled program 10-50x slower than steady state (CLAUDE.md), so
+    a single warm-up call measures almost pure warm-up."""
     import jax
     import jax.numpy as jnp
 
@@ -21,13 +24,17 @@ def timed(fn, *args, iters=3):
         leaves = jax.tree.leaves(out)
         return sum(jnp.sum(leaf).astype(jnp.float32) for leaf in leaves)
 
-    float(scalar(fn(*args)))
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for _ in range(iters):
-        acc = acc + scalar(fn(*args))
-    float(acc)
-    return (time.perf_counter() - t0 - 0.026) / iters
+    def round_():
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for _ in range(iters):
+            acc = acc + scalar(fn(*args))
+        float(acc)
+        return (time.perf_counter() - t0 - 0.026) / iters
+
+    float(scalar(fn(*args)))   # compile
+    round_()                   # steady-state warm-up round
+    return round_()
 
 
 def synthetic_batch(batch, size, rng):
