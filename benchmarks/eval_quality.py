@@ -36,7 +36,14 @@ def main():
                              str(REPO / "datasets" / "val_indist")])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--limit", type=int, default=256)
+    ap.add_argument("--thresholds", default="0.5",
+                    help="comma list of connect/cut decision thresholds; "
+                    "more than one sweeps the P-R tradeoff (the reference's "
+                    "reported operating point is its implicit 0.5, "
+                    "readme.md:52 — sweeping lets us compare recall AT its "
+                    "precision)")
     args = ap.parse_args()
+    thresholds = [float(t) for t in args.thresholds.split(",")]
 
     import jax
     import jax.numpy as jnp
@@ -50,6 +57,8 @@ def main():
     from image_compression_tpu.train.metrics import edge_metrics
     from image_compression_tpu.train.steps import make_pretrain_eval
 
+    from image_compression_tpu.train.metrics import edge_metrics
+
     cfg = Config()
     model = EdgeUNet()
     template = model.init(jax.random.PRNGKey(0),
@@ -61,11 +70,19 @@ def main():
     def targets_for(images):
         return create_target_with_mask(images, cfg.edge_target)
 
-    report = {"ckpt": str(args.ckpt), "edge_target": cfg.edge_target.value}
+    @jax.jit
+    def sweep_metrics(params, images, targets):
+        out = model.apply(params, images)
+        return tuple(edge_metrics(out, targets, thresh=t)
+                     for t in thresholds)
+
+    report = {"ckpt": str(args.ckpt), "edge_target": cfg.edge_target.value,
+              "thresholds": thresholds}
     for d in args.dirs:
         paths = find_image_files_recursively(d, cfg.image_format)
         paths = [p for p in paths][:args.limit]
         total = None
+        sweep_total = None
         loss_sum = 0.0
         n_batches = 0
         for i in range(0, len(paths) - len(paths) % args.batch, args.batch):
@@ -78,6 +95,11 @@ def main():
             n_batches += 1
             total = metrics if total is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, total, metrics)
+            if len(thresholds) > 1:
+                sm = sweep_metrics(params, images, targets)
+                sweep_total = sm if sweep_total is None \
+                    else jax.tree_util.tree_map(
+                        lambda a, b: a + b, sweep_total, sm)
         s = total.summary()
         key = pathlib.Path(d).name
         report[key] = {
@@ -85,6 +107,15 @@ def main():
             "loss": round(loss_sum / max(n_batches, 1), 4),
             **{k: round(float(v), 4) for k, v in s.items()},
         }
+        if sweep_total is not None:
+            curve = []
+            for t, m in zip(thresholds, sweep_total):
+                ms = m.summary()
+                curve.append({"thresh": t,
+                              **{k: round(float(ms[k]), 4)
+                                 for k in ("precision_cut", "recall_cut",
+                                           "f1_cut", "f1_conn")}})
+            report[key]["pr_curve"] = curve
         print(json.dumps({key: report[key]}), flush=True)
     print(json.dumps({"metric": "pretrain_quality", **report}))
 
