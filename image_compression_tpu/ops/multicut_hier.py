@@ -625,6 +625,8 @@ def hier_gaec(costs_hw2: jnp.ndarray, mode: str = "chain", base: int = 8,
         raise ValueError("start_level and init_state go together")
     if agg not in ("pixel", "matrix"):
         raise ValueError(f"unknown agg: {agg}")
+    if leaf not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown leaf: {leaf}")
     if caps is None:
         caps = default_caps(sides)
     if int(caps[0]) < sides[0] * sides[0]:
