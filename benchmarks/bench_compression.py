@@ -59,6 +59,7 @@ def main():
     from image_compression_tpu.ops.rewards import to_rgba_u8
     from image_compression_tpu.ops.segment_stats import segment_stats
     from image_compression_tpu.pipeline import (classical_costs_signed,
+                                                fallback_single_slice,
                                                 learned_costs, segment_batch)
     from image_compression_tpu.train.checkpoint import load_params
 
@@ -92,14 +93,17 @@ def main():
             return est.sum() + surplus * (9.308622 + 1.0), stats.num_segments
         return jax.vmap(one)(to_rgba_u8(images_f01), labels)
 
-    modes = [("classical_canny",
-              lambda b: classical_costs_signed(b, EdgeTarget.CANNY))]
+    canny_fn = lambda b: classical_costs_signed(b, EdgeTarget.CANNY)  # noqa
+    modes = [("classical_canny", canny_fn, False),
+             ("classical_canny_fallback", canny_fn, True)]
     if params is not None:
-        modes.append(("learned_ckpt",
-                      lambda b: learned_costs(model, params, b)))
+        learned_fn = lambda b: learned_costs(model, params, b)  # noqa: E731
+        modes += [("learned_ckpt", learned_fn, False),
+                  ("learned_ckpt_fallback", learned_fn, True)]
 
+    cfg_default = Config()
     report = {}
-    for name, cost_fn in modes:
+    for name, cost_fn, use_fallback in modes:
         out_root = pathlib.Path(tempfile.mkdtemp(prefix=f"benchcomp_{name}_"))
         out_bytes = meta_bytes = 0
         predicted = 0.0
@@ -114,6 +118,13 @@ def main():
                                    icm_sweeps=mc.icm_sweeps,
                                    hier_rounds=tuple(mc.hier_rounds),
                                    hier_caps=mc.hier_caps)
+            if use_fallback:
+                # the production decision (pipeline.py): keep a segmentation
+                # only when the size model predicts it below the whole image
+                # as one slice
+                labels = fallback_single_slice(
+                    batch, labels, cfg_default.fallback_margin,
+                    k_max=cfg_default.reward.max_segments)
             est, _k = predict_totals(batch, labels)
             predicted += float(jnp.sum(est))
             labels = np.asarray(labels)
@@ -151,6 +162,8 @@ def main():
             "estimator_calibration_pred_over_real": round(
                 predicted / max(out_bytes - meta_bytes, 1), 4),
             "slices_per_img": round(float(np.mean(n_slices)), 1),
+            "single_slice_frac": round(
+                float(np.mean([n == 1 for n in n_slices])), 3),
             "bbox_side_hist_32_64_128_256": side_hist,
         }
         print(json.dumps({"mode": name, **report[name]}), flush=True)

@@ -39,6 +39,8 @@ def cmd_compress(args):
     cfg = _load_config(args)
     if getattr(args, "pack", False):
         cfg.slice_container = "pack"
+    if getattr(args, "no_fallback", False):
+        cfg.compress_fallback = False
     params = load_params(args.checkpoint) if args.checkpoint else None
     classical = EdgeTarget(args.classical) if args.classical else None
     dirs = compress_directory(cfg, params=params, limit=args.limit,
@@ -107,6 +109,10 @@ def main(argv=None):
     p.add_argument("--pack", action="store_true",
                    help="one SLPK container file per image instead of a "
                         "directory of slice PNGs (reassemble reads both)")
+    p.add_argument("--no-fallback", action="store_true",
+                   help="always slice, like the reference (disable the "
+                        "per-image single-slice fallback when the size "
+                        "model predicts slicing would expand the image)")
     p.set_defaults(fn=cmd_compress)
 
     p = sub.add_parser("reassemble", help="rebuild from slices (reassemble.cpp)")

@@ -145,6 +145,14 @@ class Config:
     #                                 SLPK file per image (io/pack.py)
     edge_target: EdgeTarget = EdgeTarget.GRAPH
     image_size: int = 256         # training resolution (training.cpp:85-86)
+    compress_fallback: bool = True  # per-image single-slice fallback: keep a
+    #   segmentation only when the on-device estimator predicts its slices
+    #   total below fallback_margin x the whole image as ONE slice — the
+    #   reward's R > 0 condition applied at compress time
+    #   (compute_rewards.cu:182-192; pipeline.py::fallback_single_slice).
+    #   Product divergence: the reference always slices and measurably
+    #   expands natural images (compress.cpp:93-153; BENCHMARKS.md).
+    fallback_margin: float = 1.0  # keep iff est_sliced < margin * est_whole
 
     reward: RewardConfig = dataclasses.field(default_factory=RewardConfig)
     multicut: MulticutConfig = dataclasses.field(default_factory=MulticutConfig)

@@ -36,6 +36,59 @@ def to_rgba_u8(images_f01: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def _total_est_one(img_rgba, labels, *, k_max, min_pixels, l_min, beta,
+                   b_match_token, gamma, overhead_base, adaptive_filter,
+                   fast, minlabel):
+    """Per-image estimated total slice bytes + count of valid segments."""
+    estimator = (estimate_segment_png_sizes_fast if fast
+                 else estimate_segment_png_sizes)
+    stats_fn = segment_stats_minlabel if minlabel else segment_stats
+    stats = stats_fn(labels, k_max)
+    seg_sizes = estimator(
+        img_rgba, stats.inverse, stats.counts, stats.bboxes, stats.valid,
+        min_pixels=min_pixels, l_min=l_min, beta=beta,
+        b_match_token=b_match_token, gamma=gamma,
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+    # Segments beyond k_max were merged into the last compact slot by
+    # segment_stats, so their pixels ARE estimated (as one pseudo
+    # segment) but their per-slice container overheads are not. The
+    # reference sums estimates over all K segments
+    # (compute_rewards.cu:159-180); recover a lower bound on the missing
+    # bytes: each surplus segment adds at least overhead_base plus one
+    # filter-byte row (finalize_size, png_size_estimator.cu:10-43).
+    surplus = jnp.maximum(stats.num_segments - k_max, 0)
+    total_est = seg_sizes.sum() + surplus * (overhead_base + 1.0)
+    k_valid = jnp.sum((stats.counts >= min_pixels) & stats.valid)
+    return total_est, k_valid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_max", "min_pixels", "l_min", "beta",
+                                    "b_match_token", "gamma", "overhead_base",
+                                    "adaptive_filter", "fast", "minlabel"))
+def estimated_total_sizes_batched(images_f01: jnp.ndarray,
+                                  labels_bhw: jnp.ndarray, *, k_max: int = 64,
+                                  min_pixels: int = 1, l_min: int = 4,
+                                  beta: float = 0.012167,
+                                  b_match_token: float = 18.0,
+                                  gamma: float = 0.1,
+                                  overhead_base: float = 9.308622,
+                                  adaptive_filter: bool = True,
+                                  fast: bool = True,
+                                  minlabel: bool = False) -> jnp.ndarray:
+    """Estimated TOTAL compressed bytes of all slices per image: the
+    sum the reward subtracts (compute_rewards.cu:159-180), exposed for
+    callers that need the raw size model — e.g. the compress pipeline's
+    per-image single-slice fallback decision (pipeline.py)."""
+    one = functools.partial(
+        _total_est_one, k_max=k_max, min_pixels=min_pixels, l_min=l_min,
+        beta=beta, b_match_token=b_match_token, gamma=gamma,
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter,
+        fast=fast, minlabel=minlabel)
+    return jax.vmap(lambda img, lab: one(img, lab)[0])(
+        to_rgba_u8(images_f01), labels_bhw)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k_max", "min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
@@ -60,27 +113,12 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
     regions — exactly what multicut_grid emits (the RL step sets it)."""
     imgs_rgba = to_rgba_u8(images_f01)
 
-    estimator = (estimate_segment_png_sizes_fast if fast
-                 else estimate_segment_png_sizes)
-    stats_fn = segment_stats_minlabel if minlabel else segment_stats
-
     def one(img, labels, size):
-        stats = stats_fn(labels, k_max)
-        seg_sizes = estimator(
-            img, stats.inverse, stats.counts, stats.bboxes, stats.valid,
-            min_pixels=min_pixels, l_min=l_min, beta=beta,
-            b_match_token=b_match_token, gamma=gamma,
-            overhead_base=overhead_base, adaptive_filter=adaptive_filter)
-        # Segments beyond k_max were merged into the last compact slot by
-        # segment_stats, so their pixels ARE estimated (as one pseudo
-        # segment) but their per-slice container overheads are not. The
-        # reference sums estimates over all K segments
-        # (compute_rewards.cu:159-180); recover a lower bound on the missing
-        # bytes: each surplus segment adds at least overhead_base plus one
-        # filter-byte row (finalize_size, png_size_estimator.cu:10-43).
-        surplus = jnp.maximum(stats.num_segments - k_max, 0)
-        total_est = seg_sizes.sum() + surplus * (overhead_base + 1.0)
-        k_valid = jnp.sum((stats.counts >= min_pixels) & stats.valid)
+        total_est, k_valid = _total_est_one(
+            img, labels, k_max=k_max, min_pixels=min_pixels, l_min=l_min,
+            beta=beta, b_match_token=b_match_token, gamma=gamma,
+            overhead_base=overhead_base, adaptive_filter=adaptive_filter,
+            fast=fast, minlabel=minlabel)
         penalty = (k_valid == 1).astype(jnp.float32)
         gain = (size - total_est) / size
         return gain - lam * penalty

@@ -26,6 +26,7 @@ from image_compression_tpu.models.unet import EdgeUNet
 from image_compression_tpu.ops.edges import (edge_validity_masks,
                                              split_model_output, squash_mu)
 from image_compression_tpu.ops.multicut import multicut_grid
+from image_compression_tpu.ops.rewards import estimated_total_sizes_batched
 from image_compression_tpu.ops.targets import compute_edge_costs
 
 
@@ -66,6 +67,35 @@ def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
     return jax.vmap(fn)(costs_bhw2)
 
 
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
+                          margin: float, k_max: int = 64) -> jnp.ndarray:
+    """Per-image single-slice fallback: keep a segmentation only when the
+    on-device size model predicts its slices total BELOW margin x the whole
+    image as one slice; otherwise zero the labels (one full-canvas slice —
+    the host slicer and metadata handle that case with no special path).
+
+    This is the training reward's R > 0 condition applied at compress time
+    (R = (size - sum est)/size, compute_rewards.cu:182-192), with the
+    whole-image single-segment estimate standing in for `size` so both
+    sides come from the same size model and its calibration bias cancels.
+    Product divergence from the reference, which always slices
+    (compress.cpp:93-153) and measurably EXPANDS natural images
+    (BENCHMARKS.md achieved-compression table); with the fallback the
+    output is never predicted to exceed a whole-image re-encode.
+
+    minlabel stats apply to both sides: multicut_grid emits smallest-
+    pixel-index labels, and the all-zeros labeling is its own minlabel
+    form (one region whose smallest pixel index is 0).
+    """
+    est_sliced = estimated_total_sizes_batched(
+        images_f01, labels, k_max=k_max, minlabel=True)
+    est_whole = estimated_total_sizes_batched(
+        images_f01, jnp.zeros_like(labels), k_max=k_max, minlabel=True)
+    keep = est_sliced < margin * est_whole
+    return jnp.where(keep[:, None, None], labels, 0)
+
+
 def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
                    cfg: Config) -> jnp.ndarray:
     """Dispatch the device half of compress for one batch; returns the
@@ -73,13 +103,17 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
     batch = jnp.asarray(np.stack([to_float01_rgb(im) for im in images_u8]))
     costs = cost_fn(batch)
     mc = cfg.multicut
-    return segment_batch(costs, mode=mc.mode,
-                         max_rounds=mc.max_rounds,
-                         icm_sweeps=mc.icm_sweeps,
-                         hier_rounds=(tuple(mc.hier_rounds)
-                                      if mc.hier_rounds else None),
-                         hier_caps=mc.hier_caps, hier_agg=mc.hier_agg,
-                         hier_leaf=mc.hier_leaf)
+    labels = segment_batch(costs, mode=mc.mode,
+                           max_rounds=mc.max_rounds,
+                           icm_sweeps=mc.icm_sweeps,
+                           hier_rounds=(tuple(mc.hier_rounds)
+                                        if mc.hier_rounds else None),
+                           hier_caps=mc.hier_caps, hier_agg=mc.hier_agg,
+                           hier_leaf=mc.hier_leaf)
+    if cfg.compress_fallback:
+        labels = fallback_single_slice(batch, labels, cfg.fallback_margin,
+                                       k_max=cfg.reward.max_segments)
+    return labels
 
 
 def _write_batch(images_u8: list[np.ndarray], labels: np.ndarray,

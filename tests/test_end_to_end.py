@@ -37,6 +37,9 @@ def small_cfg():
     cfg.multicut.max_rounds = 16
     cfg.multicut.icm_sweeps = 2
     cfg.reward.max_segments = 16
+    # these tests exercise the multi-slice machinery; the single-slice
+    # fallback has its own suite (test_fallback.py)
+    cfg.compress_fallback = False
     return cfg
 
 
