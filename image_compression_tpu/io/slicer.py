@@ -47,10 +47,20 @@ def compute_bounding_boxes(labels_hw: np.ndarray) -> dict[int, tuple[int, int, i
 def slice_image(image_rgba: np.ndarray, labels_hw: np.ndarray, label: int,
                 box: tuple[int, int, int, int]) -> np.ndarray:
     """Extract one segment as an RGBA crop with transparent background
-    (image_slicer.cpp:48-74)."""
+    (image_slicer.cpp:48-74).
+
+    A segment that fills its whole bbox with opaque source pixels is
+    returned as RGB instead: its alpha plane carries no information, and
+    reassembly composites RGB slices identically (ensure_rgba makes them
+    fully opaque; the alpha>0 mask was all-true for such slices anyway).
+    The single-slice fallback's full-canvas slice always takes this path.
+    Matches the native writer (native/pngio.cpp write_slices_impl)."""
     x, y, w, h = box
     crop = image_rgba[y:y + h, x:x + w]
     mask = labels_hw[y:y + h, x:x + w] == label
+    opaque = np.iinfo(image_rgba.dtype).max
+    if mask.all() and (crop[:, :, 3] == opaque).all():
+        return crop[:, :, :3].copy()
     out = np.zeros((h, w, 4), image_rgba.dtype)
     out[mask] = crop[mask]
     return out

@@ -401,6 +401,15 @@ static int write_slices_impl(const uint8_t* img_rgba, const int32_t* labels,
             int bw = x1[lab] - x0[lab] + 1;
             int bh = y1[lab] - y0[lab] + 1;
             crop.assign((size_t)bw * bh * 4, 0);
+            // A slice whose segment fills its whole bbox with opaque source
+            // pixels carries no information in its alpha plane: write it as
+            // RGB (color type 2) and save a quarter of the raw bytes.
+            // Reassembly is unchanged (RGB decodes as fully opaque, and the
+            // alpha>0 compositing mask was all-true for such slices anyway,
+            // reassemble.cpp:94-98). The single-slice fallback's full-canvas
+            // slice always hits this path.
+            size_t matched = 0;
+            bool opaque = true;
             for (int y = 0; y < bh; ++y) {
                 const int gy = y0[lab] + y;
                 const int32_t* lrow = labels + (size_t)gy * width + x0[lab];
@@ -408,14 +417,23 @@ static int write_slices_impl(const uint8_t* img_rgba, const int32_t* labels,
                     img_rgba + ((size_t)gy * width + x0[lab]) * 4;
                 uint8_t* orow = crop.data() + (size_t)y * bw * 4;
                 for (int x = 0; x < bw; ++x)
-                    if (lrow[x] == lab)
+                    if (lrow[x] == lab) {
                         std::memcpy(orow + (size_t)x * 4, irow + (size_t)x * 4,
                                     4);
+                        ++matched;
+                        opaque = opaque && irow[(size_t)x * 4 + 3] == 255;
+                    }
+            }
+            int channels = 4;
+            if (opaque && matched == (size_t)bw * bh) {
+                channels = 3;
+                for (size_t p = 0; p < (size_t)bw * bh; ++p)
+                    std::memmove(crop.data() + p * 3, crop.data() + p * 4, 3);
             }
             uint8_t* png = nullptr;
             size_t png_len = 0;
-            if (encode_core(crop.data(), bh, bw, 4, 8, level, &png, &png_len,
-                            &enc)) {
+            if (encode_core(crop.data(), bh, bw, channels, 8, level, &png,
+                            &png_len, &enc)) {
                 ok = false;
                 return;
             }
