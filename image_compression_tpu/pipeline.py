@@ -92,6 +92,14 @@ def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
         images_f01, labels, k_max=k_max, minlabel=True)
     est_whole = estimated_total_sizes_batched(
         images_f01, jnp.zeros_like(labels), k_max=k_max, minlabel=True)
+    # Both sides price RGBA deliberately. The fallback slice is actually
+    # written as RGB (full-bbox opaque -> color type 2, io/slicer.py), but
+    # the estimator's channel-MEAN entropy model prices a constant alpha
+    # plane at ~0 bytes, so estimating the whole side at 3 channels RAISES
+    # its mean entropy and skews decisions toward slicing — measured on
+    # gradient/noise probes (tests/test_fallback.py). The real RGB-write
+    # saving (~15% on incompressible content) makes margin=1.0 mildly
+    # conservative toward slicing; bench_compression measures the net.
     keep = est_sliced < margin * est_whole
     return jnp.where(keep[:, None, None], labels, 0)
 
