@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--k-max", type=int, default=256)
     ap.add_argument("--ckpt", default=str(CKPT))
+    ap.add_argument("--modes", help="substring filter on mode names "
+                                    "(e.g. 'fallback' re-measures only the "
+                                    "fallback rows)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,8 @@ def main():
     from image_compression_tpu.ops.segment_stats import segment_stats
     from image_compression_tpu.pipeline import (classical_costs_signed,
                                                 fallback_single_slice,
-                                                learned_costs, segment_batch)
+                                                learned_costs, segment_batch,
+                                                write_passthrough)
     from image_compression_tpu.train.checkpoint import load_params
 
     paths = find_image_files_recursively(args.dir, "png")[:args.images]
@@ -101,6 +105,9 @@ def main():
         modes += [("learned_ckpt", learned_fn, False),
                   ("learned_ckpt_fallback", learned_fn, True)]
 
+    if args.modes:
+        modes = [m for m in modes if args.modes in m[0]]
+
     cfg_default = Config()
     report = {}
     for name, cost_fn, use_fallback in modes:
@@ -139,7 +146,12 @@ def main():
                         if side <= s:
                             side_hist[c] += 1
                             break
-                write_slices(img, lab.astype(np.int64), out_root, tag)
+                if use_fallback and not lab.any():
+                    # production path: the original PNG is copied verbatim
+                    # as the single full-canvas slice (pipeline.py)
+                    write_passthrough(paths[i + j], lab.shape, out_root, tag)
+                else:
+                    write_slices(img, lab.astype(np.int64), out_root, tag)
                 d = out_root / tag
                 out_bytes += dir_bytes(d)
                 meta_bytes += (d / "metadata.bin").stat().st_size

@@ -124,14 +124,56 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
     return labels
 
 
+def write_passthrough(src_path: str | pathlib.Path,
+                      shape_hw: tuple[int, int],
+                      results_dir: str | pathlib.Path, name: str,
+                      container: str = "files") -> pathlib.Path:
+    """Emit the source PNG verbatim as the single full-canvas slice.
+
+    When the fallback chose the whole image and the source file is itself
+    a PNG of those exact pixels, copying its bytes is always lossless and
+    at least as small as any re-encode we'd do at the same effort — the
+    output is then GUARANTEED never to exceed the original by more than
+    the metadata record (~49 bytes). Also skips the host's whole-image
+    encode entirely (a file copy instead)."""
+    import shutil
+
+    from image_compression_tpu.io.metadata import SliceMetadata
+    height, width = shape_hw
+    meta = [SliceMetadata(label=0, filename="slice_0.png", x=0, y=0,
+                          width=width, height=height)]
+    if container == "pack":
+        from image_compression_tpu.io.pack import write_pack
+        out = pathlib.Path(results_dir) / f"{name}.pack"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        write_pack(out, meta, [pathlib.Path(src_path).read_bytes()],
+                   width, height)
+        return out
+    out = pathlib.Path(results_dir) / name
+    out.mkdir(parents=True, exist_ok=True)
+    shutil.copyfile(src_path, out / "slice_0.png")
+    from image_compression_tpu.io.metadata import write_metadata_binary
+    write_metadata_binary(meta, out / "metadata.bin", width, height)
+    return out
+
+
 def _write_batch(images_u8: list[np.ndarray], labels: np.ndarray,
                  cfg: Config, results_dir: str | pathlib.Path,
-                 names: list[str | None]) -> list[pathlib.Path]:
-    """Host half of compress for one batch: slice + write."""
+                 names: list[str | None],
+                 src_paths: list | None = None) -> list[pathlib.Path]:
+    """Host half of compress for one batch: slice + write. With src_paths,
+    an all-zero labeling (the single-slice fallback) copies the original
+    PNG bytes instead of re-encoding (write_passthrough)."""
     out_dirs = []
     pack = cfg.slice_container == "pack"
-    for img, lab, name in zip(images_u8, labels, names):
+    for i, (img, lab, name) in enumerate(zip(images_u8, labels, names)):
         if name is None:  # batch padding entry
+            continue
+        src = src_paths[i] if src_paths else None
+        if src is not None and cfg.compress_fallback and not lab.any():
+            out_dirs.append(write_passthrough(
+                src, lab.shape, results_dir, name,
+                container=cfg.slice_container))
             continue
         write_slices(img, lab.astype(np.int64), results_dir, name,
                      cfg.image_format, cfg.compression_level,
@@ -203,7 +245,7 @@ def compress_directory(cfg: Config, params=None, limit: int | None = None,
     from concurrent.futures import ThreadPoolExecutor
 
     out = []
-    pending = None  # (images, names, future of fetched labels)
+    pending = None  # (images, names, src paths, future of fetched labels)
     with ThreadPoolExecutor(1) as pool:
         for shape, group in sorted(by_shape.items()):
             for i in range(0, len(group), batch_size):
@@ -214,11 +256,14 @@ def compress_directory(cfg: Config, params=None, limit: int | None = None,
                 labels = _device_labels(imgs + imgs[-1:] * pad, cost_fn, cfg)
                 fut = pool.submit(np.asarray, labels)
                 names = [p.stem for p in chunk] + [None] * pad
+                srcs = list(chunk) + [None] * pad
                 if pending is not None:
-                    out += _write_batch(pending[0], pending[2].result(),
-                                        cfg, cfg.results_dir, pending[1])
-                pending = (imgs + imgs[-1:] * pad, names, fut)
+                    out += _write_batch(pending[0], pending[3].result(),
+                                        cfg, cfg.results_dir, pending[1],
+                                        src_paths=pending[2])
+                pending = (imgs + imgs[-1:] * pad, names, srcs, fut)
         if pending is not None:
-            out += _write_batch(pending[0], pending[2].result(),
-                                cfg, cfg.results_dir, pending[1])
+            out += _write_batch(pending[0], pending[3].result(),
+                                cfg, cfg.results_dir, pending[1],
+                                src_paths=pending[2])
     return out

@@ -99,3 +99,37 @@ def test_compress_fallback_roundtrip(tmp_path, rng):
     assert len(list(dirs_off[0].glob("slice_*.png"))) >= 2
     np.testing.assert_array_equal(reassemble_array(dirs_off[0]),
                                   ensure_rgba(img))
+
+
+def test_compress_directory_passthrough(tmp_path, rng):
+    """compress_directory with a source file: the fallback copies the
+    original PNG verbatim as slice_0.png (byte-identical — output is
+    guaranteed <= original + the ~49-byte metadata record) and the round
+    trip stays lossless. Pack mode embeds the same original bytes."""
+    from PIL import Image
+
+    from image_compression_tpu.io.pack import read_pack
+    from image_compression_tpu.pipeline import compress_directory
+
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    data = tmp_path / "data"
+    data.mkdir()
+    Image.fromarray(img).save(data / "noise.png")
+    orig_bytes = (data / "noise.png").read_bytes()
+
+    cfg = Config()
+    cfg.reward.max_segments = 64
+    cfg.dataset_dir = str(data)
+    cfg.results_dir = str(tmp_path / "out")
+    dirs = compress_directory(cfg, classical=EdgeTarget.CANNY, batch_size=1)
+    assert (dirs[0] / "slice_0.png").read_bytes() == orig_bytes
+    np.testing.assert_array_equal(reassemble_array(dirs[0]),
+                                  ensure_rgba(img))
+
+    cfg.slice_container = "pack"
+    cfg.results_dir = str(tmp_path / "out_pack")
+    packs = compress_directory(cfg, classical=EdgeTarget.CANNY, batch_size=1)
+    _records, blobs, _w, _h = read_pack(packs[0])
+    assert blobs == [orig_bytes]
+    np.testing.assert_array_equal(reassemble_array(packs[0]),
+                                  ensure_rgba(img))
