@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--modes", help="substring filter on mode names "
                                     "(e.g. 'fallback' re-measures only the "
                                     "fallback rows)")
+    ap.add_argument("--margin", type=float,
+                    help="override cfg.fallback_margin for the fallback "
+                         "rows (margin sweep)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +112,8 @@ def main():
         modes = [m for m in modes if args.modes in m[0]]
 
     cfg_default = Config()
+    if args.margin is not None:
+        cfg_default.fallback_margin = args.margin
     report = {}
     for name, cost_fn, use_fallback in modes:
         out_root = pathlib.Path(tempfile.mkdtemp(prefix=f"benchcomp_{name}_"))

@@ -152,7 +152,14 @@ class Config:
     #   (compute_rewards.cu:182-192; pipeline.py::fallback_single_slice).
     #   Product divergence: the reference always slices and measurably
     #   expands natural images (compress.cpp:93-153; BENCHMARKS.md).
-    fallback_margin: float = 1.0  # keep iff est_sliced < margin * est_whole
+    fallback_margin: float = 0.9  # keep iff est_sliced < margin * est_whole.
+    #   0.9 is measured, not tuned by eye: the estimator under-prices
+    #   slices (small-sample entropy bias on tiny crops) while the
+    #   fallback's real cost is the ORIGINAL file (passthrough copies its
+    #   bytes), ~10% below the estimator's whole-image re-encode model.
+    #   128-image sweep (benchmarks/bench_compression.py --margin):
+    #   margin 1.0 -> out/orig 1.058 (canny) / 1.122 (learned);
+    #   margin 0.9 -> 1.0014 / 1.0192 (BENCHMARKS.md).
 
     reward: RewardConfig = dataclasses.field(default_factory=RewardConfig)
     multicut: MulticutConfig = dataclasses.field(default_factory=MulticutConfig)
