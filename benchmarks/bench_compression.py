@@ -130,6 +130,12 @@ def main():
                                    icm_sweeps=mc.icm_sweeps,
                                    hier_rounds=tuple(mc.hier_rounds),
                                    hier_caps=mc.hier_caps)
+            # bbox-side histogram from the PRE-fallback labels: evidence for
+            # the estimator's workload-derived class caps (class_caps,
+            # VERDICT #8) — these are the segments the estimator actually
+            # priced; post-fallback all-zero labelings would each add one
+            # full-canvas bbox that was never estimated per segment
+            labels_pre = np.asarray(labels)
             if use_fallback:
                 # the production decision (pipeline.py): keep a segmentation
                 # only when the size model predicts it below the whole image
@@ -142,10 +148,8 @@ def main():
             labels = np.asarray(labels)
             for j, (img, lab) in enumerate(zip(chunk, labels)):
                 tag = f"img_{i + j}"
-                # bbox-side histogram: evidence for the estimator's
-                # workload-derived class caps (class_caps, VERDICT #8)
-                for lab_id in np.unique(lab):
-                    ys_, xs_ = np.nonzero(lab == lab_id)
+                for lab_id in np.unique(labels_pre[j]):
+                    ys_, xs_ = np.nonzero(labels_pre[j] == lab_id)
                     side = max(ys_.max() - ys_.min(), xs_.max() - xs_.min()) + 1
                     for c, s in enumerate((32, 64, 128, 256)):
                         if side <= s:

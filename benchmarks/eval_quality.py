@@ -57,8 +57,6 @@ def main():
     from image_compression_tpu.train.metrics import edge_metrics
     from image_compression_tpu.train.steps import make_pretrain_eval
 
-    from image_compression_tpu.train.metrics import edge_metrics
-
     cfg = Config()
     model = EdgeUNet()
     template = model.init(jax.random.PRNGKey(0),

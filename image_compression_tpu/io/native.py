@@ -24,15 +24,24 @@ def _try_build() -> None:
     fresh checkout silently fell back to the ~4x-slower pure-Python encoder
     until someone remembered to build (this cost one benchmark run its
     host-side headline). Failures are ignored — every caller has a
-    fallback."""
+    fallback.
+
+    Concurrent-build safety (pytest -n auto on a fresh checkout): an
+    exclusive flock on a sidecar lockfile serializes the make invocations,
+    and the Makefile links to a temp name and mv's it into place, so a
+    racing process can never CDLL a partially written .so."""
     global _build_attempted
     if _build_attempted:
         return
     _build_attempted = True
     import subprocess
     try:
-        subprocess.run(["make", "-C", str(_LIB_PATH.parent)],
-                       capture_output=True, timeout=120, check=False)
+        import fcntl
+        with open(_LIB_PATH.parent / ".build.lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not _LIB_PATH.exists():
+                subprocess.run(["make", "-C", str(_LIB_PATH.parent)],
+                               capture_output=True, timeout=120, check=False)
     except (OSError, subprocess.TimeoutExpired):
         pass
 
@@ -45,7 +54,12 @@ def load_library():
         _try_build()
     if not _LIB_PATH.exists():
         return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        # unreadable/corrupt .so (e.g. a build interrupted before the
+        # atomic rename existed): keep the documented pure-Python fallback
+        return None
     lib.pngio_encode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,

@@ -132,8 +132,9 @@ def multicut_grid_spatial(costs_hw2: jnp.ndarray, mesh: Mesh,
         out_specs=tuple([P(axis_name)] * n_out),
         # the fused Pallas leaf (ops/multicut_leaf.py) runs inside this
         # shard_map; pallas_call outputs carry no varying-mesh-axes info,
-        # which check_vma=True rejects outright
-        check_vma=False)
+        # which check_vma=True rejects outright. The pixel path never
+        # selects the leaf, so it keeps the safety check.
+        check_vma=not matrix)
     def local_levels(costs_strip):
         res = hier_gaec(costs_strip, mode=mode,
                         rounds_per_level=rpl[:n_local] if rpl else None,
