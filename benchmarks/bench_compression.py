@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--margin", type=float,
                     help="override cfg.fallback_margin for the fallback "
                          "rows (margin sweep)")
+    ap.add_argument("--gt-labels",
+                    help="directory of ground-truth partition .npy files "
+                         "(benchmarks/make_mixed_corpus.py layout); adds a "
+                         "'gt_oracle' row that slices at the KNOWN partition "
+                         "— the headroom proof (real bytes, no estimator or "
+                         "solver in the loop)")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +101,8 @@ def main():
         def one(img, lab):
             stats = segment_stats(lab, k_max)
             est = estimate_segment_png_sizes_fast(
-                img, stats.inverse, stats.counts, stats.bboxes, stats.valid)
+                img, stats.inverse, stats.counts, stats.bboxes, stats.valid,
+                entropy_correction=Config().reward.entropy_correction)
             surplus = jnp.maximum(stats.num_segments - k_max, 0)
             return est.sum() + surplus * (9.308622 + 1.0), stats.num_segments
         return jax.vmap(one)(to_rgba_u8(images_f01), labels)
@@ -111,10 +118,42 @@ def main():
     if args.modes:
         modes = [m for m in modes if args.modes in m[0]]
 
+    report = {}
+    if args.gt_labels:
+        # headroom ORACLE: slice at the ground-truth partition and count the
+        # real output bytes — proves the corpus has genuine slicing headroom
+        # independently of the extractor/solver/estimator
+        gt_dir = pathlib.Path(args.gt_labels)
+        out_root = pathlib.Path(tempfile.mkdtemp(prefix="benchcomp_gt_"))
+        out_bytes = 0
+        n_slices = []
+        skipped = 0
+        for j, (p, img) in enumerate(zip(paths, images_u8)):
+            lab_path = gt_dir / f"{p.stem}.npy"
+            if not lab_path.exists():
+                skipped += 1
+                continue
+            lab = np.load(lab_path).astype(np.int64)
+            tag = f"img_{j}"
+            write_slices(img, lab, out_root, tag)
+            d = out_root / tag
+            out_bytes += dir_bytes(d)
+            n_slices.append(sum(1 for _ in d.glob("slice_*.png")))
+        shutil.rmtree(out_root, ignore_errors=True)
+        covered = [b for p_, b in zip(paths, orig_bytes)
+                   if (gt_dir / f"{p_.stem}.npy").exists()]
+        report["gt_oracle"] = {
+            "images": len(covered), "skipped_no_labels": skipped,
+            "orig_bytes": sum(covered), "out_bytes": out_bytes,
+            "ratio_out_over_orig": round(out_bytes / max(sum(covered), 1), 4),
+            "slices_per_img": round(float(np.mean(n_slices)), 1),
+        }
+        print(json.dumps({"mode": "gt_oracle", **report["gt_oracle"]}),
+              flush=True)
+
     cfg_default = Config()
     if args.margin is not None:
         cfg_default.fallback_margin = args.margin
-    report = {}
     for name, cost_fn, use_fallback in modes:
         out_root = pathlib.Path(tempfile.mkdtemp(prefix=f"benchcomp_{name}_"))
         out_bytes = meta_bytes = 0
@@ -142,7 +181,8 @@ def main():
                 # as one slice
                 labels = fallback_single_slice(
                     batch, labels, cfg_default.fallback_margin,
-                    k_max=cfg_default.reward.max_segments)
+                    k_max=cfg_default.reward.max_segments,
+                    entropy_correction=cfg_default.reward.entropy_correction)
             est, _k = predict_totals(batch, labels)
             predicted += float(jnp.sum(est))
             labels = np.asarray(labels)

@@ -36,6 +36,22 @@ class RewardConfig:
     overhead_base: float = 9.308622
     adaptive_filter: bool = True
     lambda_single_segment: float = 0.5
+    entropy_correction: str = "none"  # "none" = reference-parity plug-in
+    #   entropy (png_size_estimator.cu:281-309); "miller_madow" adds the
+    #   first-order small-sample bias term per histogram
+    #   (ops/png_estimator.py) — the plug-in estimate under-prices tiny
+    #   crops (round-3 calibration measured pred/real 0.90 on the
+    #   always-slice learned path).
+    literal_hist: str = "all"  # "all" = reference-parity histogram over
+    #   every bbox byte (png_size_estimator.cu:365-392); "nonmatch" prices
+    #   literals from a histogram that excludes match-covered bytes, the
+    #   way DEFLATE's literal code actually sees them (measured: fixes a
+    #   36% whole-image underpricing on mixed flat|noise content).
+    fallback_aware: bool = False  # RL reward prices each image at the
+    #   product's fallback decision min(est_sliced, est_whole) instead of
+    #   the always-slice cost, and drops the single-segment penalty
+    #   (ops/rewards.py::compute_rewards_batched). Divergence from
+    #   training.cpp:174 gated off by default.
     # TPU-specific: static cap on distinct segments per image for the
     # vectorized estimator (reference loops over dynamic K instead,
     # compute_rewards.cu:159-180). Segments beyond the cap are merged into

@@ -56,7 +56,9 @@ def _paeth(a, b, c):
 def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
                       bbox, count, seg_valid, *, min_pixels: int, l_min: int,
                       beta: float, b_match_token: float, gamma: float,
-                      overhead_base: float, adaptive_filter: bool):
+                      overhead_base: float, adaptive_filter: bool,
+                      entropy_correction: str = "none",
+                      literal_hist: str = "all"):
     """Estimated PNG size of segment k. img_u8 [H, W, C] int32 (0..255),
     inverse [H, W] compact labels.
 
@@ -123,34 +125,6 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
     for f in (1, 2, 3, 4):
         res = jnp.where(fid == f, residual(preds[f]), res)  # [H, W*C]
 
-    # --- entropy from per-channel histograms over the bbox ----------------
-    # one-hot einsum instead of a segment_sum (the scatter-add lowers to a
-    # serialized per-element update on TPU), factored by nibbles: bin
-    # b = 16*hi + lo, so count[c, b] = sum_p hi_onehot[p,c,hi] *
-    # lo_onehot[p,c,lo] — an MXU outer-product contraction. The naive
-    # [P, C*256] one-hot costs P*1024 VPU compare/selects per slot (the
-    # dominant estimator term at 256-crop slots); the factored form costs
-    # P*32 plus a real matmul. Exact: 0/1 bf16 products accumulated in f32,
-    # counts <= P < 2^24. (A [P, C*16]-packed variant computing all 4
-    # histograms as diagonal blocks of one [64, 64] matmul forces the
-    # one-hots to MATERIALIZE as matmul operands for every (image, slot) in
-    # flight — 36 GB at batch 128 — where this per-channel [16, 16] form
-    # fuses into a reduction; measured, do not repack.)
-    res3 = res.reshape(height, width, channels).reshape(-1, channels)
-    mask3 = in_bbox2.reshape(height, width, channels).reshape(-1, channels)
-    nib = jnp.arange(16, dtype=jnp.int32)
-    oh_hi = ((res3 // 16)[..., None] == nib).astype(jnp.bfloat16)
-    oh_hi = oh_hi * mask3[..., None].astype(jnp.bfloat16)
-    oh_lo = ((res3 % 16)[..., None] == nib).astype(jnp.bfloat16)
-    hist = jnp.einsum("pch,pcl->chl", oh_hi, oh_lo,
-                      preferred_element_type=jnp.float32
-                      ).reshape(channels, 256)
-    n_per_channel = (w * h).astype(jnp.float32)
-    p = hist / jnp.maximum(n_per_channel, 1.0)
-    h_c = -jnp.sum(jnp.where(hist > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0),
-                   axis=-1)
-    h_bar = jnp.mean(h_c)
-
     # --- run-length match proxy in bbox row-major, channel-innermost order -
     # the interleaved minor axis IS the stream, so the in-row predecessor is
     # shift-by-1; the row-start column (x0*C) instead continues from the
@@ -204,6 +178,69 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
     match_count = jnp.sum((is_start & longrun).astype(jnp.int32))
     match_len_sum = match_symbols  # reference accumulates run_len into both
 
+    # --- entropy from per-channel histograms over the bbox ----------------
+    # one-hot einsum instead of a segment_sum (the scatter-add lowers to a
+    # serialized per-element update on TPU), factored by nibbles: bin
+    # b = 16*hi + lo, so count[c, b] = sum_p hi_onehot[p,c,hi] *
+    # lo_onehot[p,c,lo] — an MXU outer-product contraction. The naive
+    # [P, C*256] one-hot costs P*1024 VPU compare/selects per slot (the
+    # dominant estimator term at 256-crop slots); the factored form costs
+    # P*32 plus a real matmul. Exact: 0/1 bf16 products accumulated in f32,
+    # counts <= P < 2^24. (A [P, C*16]-packed variant computing all 4
+    # histograms as diagonal blocks of one [64, 64] matmul forces the
+    # one-hots to MATERIALIZE as matmul operands for every (image, slot) in
+    # flight — 36 GB at batch 128 — where this per-channel [16, 16] form
+    # fuses into a reduction; measured, do not repack.)
+    if literal_hist == "nonmatch":
+        # Calibration mode (BENCHMARKS.md round 4): the literal histogram
+        # covers only bytes NOT already covered by a long run. The reference
+        # histograms every bbox byte (png_size_estimator.cu:365-392), so on
+        # mixed content (noise regions next to flat regions) the cheap
+        # match-covered zeros flood the histogram and pull the literal
+        # entropy far below what DEFLATE's literal code actually pays for
+        # the noise bytes — measured 36% whole-image underpricing on a
+        # noise|flat composite. DEFLATE prices literals with a code built
+        # from literal occurrences only; this mode mirrors that.
+        hist_mask2 = in_bbox2 & ~longrun
+    elif literal_hist == "all":
+        hist_mask2 = in_bbox2
+    else:
+        raise ValueError(f"unknown literal_hist: {literal_hist}")
+    res3 = res.reshape(height, width, channels).reshape(-1, channels)
+    mask3 = hist_mask2.reshape(height, width, channels).reshape(-1, channels)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((res3 // 16)[..., None] == nib).astype(jnp.bfloat16)
+    oh_hi = oh_hi * mask3[..., None].astype(jnp.bfloat16)
+    oh_lo = ((res3 % 16)[..., None] == nib).astype(jnp.bfloat16)
+    hist = jnp.einsum("pch,pcl->chl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32
+                      ).reshape(channels, 256)
+    if literal_hist == "nonmatch":
+        n_per_channel = jnp.sum(hist, axis=-1)           # [C] literal bytes
+    else:
+        n_per_channel = jnp.full((channels,), (w * h).astype(jnp.float32))
+    p = hist / jnp.maximum(n_per_channel, 1.0)[:, None]
+    h_c = -jnp.sum(jnp.where(hist > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0),
+                   axis=-1)
+    if entropy_correction == "miller_madow":
+        # The plug-in (empirical) entropy is biased LOW by ~(K-1)/(2N ln 2)
+        # bits for N samples over K occupied bins (Miller 1955) — on tiny
+        # crops this under-prices slices badly enough that an always-slice
+        # run predicted 0.90x of the bytes it really wrote (BENCHMARKS.md
+        # round-3 calibration). Adding the first-order bias term fixes the
+        # bias where it arises, per histogram, instead of the round-3
+        # global fallback_margin fudge. Capped at 8 bits: a byte stream
+        # can't exceed 8 bits/byte, and for N << K the MM term otherwise
+        # overshoots. Reference parity mode ("none") keeps the uncorrected
+        # formula of png_size_estimator.cu:281-309.
+        k_occ = jnp.sum((hist > 0).astype(jnp.float32), axis=-1)
+        h_c = h_c + (k_occ - 1.0) / (2.0 * jnp.maximum(n_per_channel, 1.0)
+                                     * 0.6931471805599453)
+        h_c = jnp.minimum(h_c, 8.0)
+    elif entropy_correction != "none":
+        raise ValueError(f"unknown entropy_correction: {entropy_correction}")
+    h_bar = jnp.mean(h_c)
+
     # --- finalize (finalize_size_kernel / compute_size_device :10-43) ------
     n_total = (w * h * channels).astype(jnp.float32)
     f_match = jnp.where((n_total > 0) & (match_symbols > 0),
@@ -223,7 +260,8 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
 @functools.partial(jax.jit,
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter", "chunk"))
+                                    "adaptive_filter", "chunk",
+                                    "entropy_correction", "literal_hist"))
 def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                counts: jnp.ndarray, bboxes: jnp.ndarray,
                                valid: jnp.ndarray, *, min_pixels: int = 1,
@@ -232,6 +270,8 @@ def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                gamma: float = 0.1,
                                overhead_base: float = 9.308622,
                                adaptive_filter: bool = True,
+                               entropy_correction: str = "none",
+                               literal_hist: str = "all",
                                chunk: int = 8) -> jnp.ndarray:
     """Estimated PNG sizes for all segment slots of one image.
 
@@ -249,7 +289,8 @@ def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
     fn = functools.partial(
         _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
-        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter,
+        entropy_correction=entropy_correction, literal_hist=literal_hist)
     vfn = jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))
 
     if k_max % chunk != 0 or k_max == chunk:
@@ -293,7 +334,9 @@ def _classify_and_pack(bboxes, valid, class_sizes, caps, k_max):
 @functools.partial(jax.jit,
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter", "class_caps"))
+                                    "adaptive_filter", "class_caps",
+                                    "entropy_correction",
+                                    "literal_hist"))
 def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                     counts: jnp.ndarray, bboxes: jnp.ndarray,
                                     valid: jnp.ndarray, *,
@@ -303,6 +346,8 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                     gamma: float = 0.1,
                                     overhead_base: float = 9.308622,
                                     adaptive_filter: bool = True,
+                                    entropy_correction: str = "none",
+                                    literal_hist: str = "all",
                                     class_caps: tuple | None = None
                                     ) -> jnp.ndarray:
     """Size-bucketed estimator: identical math to estimate_segment_png_sizes,
@@ -354,7 +399,8 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
     fn = functools.partial(
         _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
-        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter,
+        entropy_correction=entropy_correction, literal_hist=literal_hist)
 
     sizes = jnp.zeros((k_max,), jnp.float32)
     slot_ids = jnp.arange(k_max, dtype=jnp.int32)
@@ -399,7 +445,9 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter", "class_caps"))
+                                    "adaptive_filter", "class_caps",
+                                    "entropy_correction",
+                                    "literal_hist"))
 def estimate_segment_png_sizes_packed(imgs_u8: jnp.ndarray,
                                       inverse: jnp.ndarray,
                                       counts: jnp.ndarray,
@@ -411,7 +459,9 @@ def estimate_segment_png_sizes_packed(imgs_u8: jnp.ndarray,
                                       b_match_token: float = 18.0,
                                       gamma: float = 0.1,
                                       overhead_base: float = 9.308622,
-                                      adaptive_filter: bool = True
+                                      adaptive_filter: bool = True,
+                                      entropy_correction: str = "none",
+                                      literal_hist: str = "all"
                                       ) -> jnp.ndarray:
     """Batch-packed estimator: `estimate_segment_png_sizes_fast` with the
     crop-class slot caps shared across the WHOLE BATCH instead of per image.
@@ -455,7 +505,8 @@ def estimate_segment_png_sizes_packed(imgs_u8: jnp.ndarray,
     fn = functools.partial(
         _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
-        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter,
+        entropy_correction=entropy_correction, literal_hist=literal_hist)
 
     sizes = jnp.zeros((n_flat,), jnp.float32)
     for c, (crop_h, crop_w) in enumerate(class_crops):

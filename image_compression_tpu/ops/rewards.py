@@ -38,7 +38,8 @@ def to_rgba_u8(images_f01: jnp.ndarray) -> jnp.ndarray:
 
 def _total_est_one(img_rgba, labels, *, k_max, min_pixels, l_min, beta,
                    b_match_token, gamma, overhead_base, adaptive_filter,
-                   fast, minlabel):
+                   fast, minlabel, entropy_correction="none",
+                   literal_hist="all"):
     """Per-image estimated total slice bytes + count of valid segments."""
     estimator = (estimate_segment_png_sizes_fast if fast
                  else estimate_segment_png_sizes)
@@ -48,7 +49,8 @@ def _total_est_one(img_rgba, labels, *, k_max, min_pixels, l_min, beta,
         img_rgba, stats.inverse, stats.counts, stats.bboxes, stats.valid,
         min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
-        overhead_base=overhead_base, adaptive_filter=adaptive_filter)
+        overhead_base=overhead_base, adaptive_filter=adaptive_filter,
+        entropy_correction=entropy_correction, literal_hist=literal_hist)
     # Segments beyond k_max were merged into the last compact slot by
     # segment_stats, so their pixels ARE estimated (as one pseudo
     # segment) but their per-slice container overheads are not. The
@@ -65,7 +67,8 @@ def _total_est_one(img_rgba, labels, *, k_max, min_pixels, l_min, beta,
 @functools.partial(jax.jit,
                    static_argnames=("k_max", "min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
-                                    "adaptive_filter", "fast", "minlabel"))
+                                    "adaptive_filter", "fast", "minlabel",
+                                    "entropy_correction", "literal_hist"))
 def estimated_total_sizes_batched(images_f01: jnp.ndarray,
                                   labels_bhw: jnp.ndarray, *, k_max: int = 64,
                                   min_pixels: int = 1, l_min: int = 4,
@@ -75,7 +78,9 @@ def estimated_total_sizes_batched(images_f01: jnp.ndarray,
                                   overhead_base: float = 9.308622,
                                   adaptive_filter: bool = True,
                                   fast: bool = True,
-                                  minlabel: bool = False) -> jnp.ndarray:
+                                  minlabel: bool = False,
+                                  entropy_correction: str = "none",
+                                  literal_hist: str = "all") -> jnp.ndarray:
     """Estimated TOTAL compressed bytes of all slices per image: the
     sum the reward subtracts (compute_rewards.cu:159-180), exposed for
     callers that need the raw size model — e.g. the compress pipeline's
@@ -84,7 +89,8 @@ def estimated_total_sizes_batched(images_f01: jnp.ndarray,
         _total_est_one, k_max=k_max, min_pixels=min_pixels, l_min=l_min,
         beta=beta, b_match_token=b_match_token, gamma=gamma,
         overhead_base=overhead_base, adaptive_filter=adaptive_filter,
-        fast=fast, minlabel=minlabel)
+        fast=fast, minlabel=minlabel, entropy_correction=entropy_correction,
+        literal_hist=literal_hist)
     return jax.vmap(lambda img, lab: one(img, lab)[0])(
         to_rgba_u8(images_f01), labels_bhw)
 
@@ -93,7 +99,8 @@ def estimated_total_sizes_batched(images_f01: jnp.ndarray,
                    static_argnames=("k_max", "min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
                                     "adaptive_filter", "lam", "fast",
-                                    "minlabel"))
+                                    "minlabel", "entropy_correction",
+                                    "literal_hist", "fallback_aware"))
 def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             image_sizes_b: jnp.ndarray, *, k_max: int = 64,
                             min_pixels: int = 1, l_min: int = 4,
@@ -103,14 +110,31 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             adaptive_filter: bool = True,
                             lam: float = 0.5,
                             fast: bool = True,
-                            minlabel: bool = False) -> jnp.ndarray:
+                            minlabel: bool = False,
+                            entropy_correction: str = "none",
+                            literal_hist: str = "all",
+                            fallback_aware: bool = False) -> jnp.ndarray:
     """images [B, H, W, 3] float [0,1]; labels [B, H, W] int; sizes [B]
     (on-disk byte counts). Returns rewards [B] float32. Defaults mirror
     compute_rewards.cuh:5-17.
 
     minlabel=True selects the sort-free segment-stats path; it requires
     labels that are each region's smallest pixel index with connected
-    regions — exactly what multicut_grid emits (the RL step sets it)."""
+    regions — exactly what multicut_grid emits (the RL step sets it).
+
+    fallback_aware=True (documented divergence; cfg.reward.fallback_aware)
+    prices each image at the PRODUCT's decision rule instead of the
+    always-slice cost: compress keeps a segmentation only when the size
+    model predicts it below the whole image as one slice
+    (pipeline.py::fallback_single_slice), so the realized output is
+    min(est_sliced, est_whole) and the reward becomes
+        R = (size - min(est_sliced, est_whole)) / size.
+    On images where no slicing can win, R is a policy-independent constant
+    (the fallback's saving), so they stop dragging the gradient — the
+    reference's reward punishes the policy for the image's own
+    incompressibility there (compute_rewards.cu:182-192). The
+    single-segment penalty is dropped in this mode: collapsing to one
+    slice IS the fallback option, not a degenerate outcome."""
     imgs_rgba = to_rgba_u8(images_f01)
 
     def one(img, labels, size):
@@ -118,7 +142,20 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
             img, labels, k_max=k_max, min_pixels=min_pixels, l_min=l_min,
             beta=beta, b_match_token=b_match_token, gamma=gamma,
             overhead_base=overhead_base, adaptive_filter=adaptive_filter,
-            fast=fast, minlabel=minlabel)
+            fast=fast, minlabel=minlabel,
+            entropy_correction=entropy_correction, literal_hist=literal_hist)
+        if fallback_aware:
+            # the all-zeros labeling is its own minlabel form (one region
+            # whose smallest pixel index is 0), so minlabel stats apply
+            est_whole, _ = _total_est_one(
+                img, jnp.zeros_like(labels), k_max=k_max,
+                min_pixels=min_pixels, l_min=l_min, beta=beta,
+                b_match_token=b_match_token, gamma=gamma,
+                overhead_base=overhead_base,
+                adaptive_filter=adaptive_filter, fast=fast,
+                minlabel=minlabel, entropy_correction=entropy_correction,
+                literal_hist=literal_hist)
+            return (size - jnp.minimum(total_est, est_whole)) / size
         penalty = (k_valid == 1).astype(jnp.float32)
         gain = (size - total_est) / size
         return gain - lam * penalty

@@ -67,9 +67,12 @@ def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
     return jax.vmap(fn)(costs_bhw2)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max",))
+@functools.partial(jax.jit, static_argnames=("k_max", "entropy_correction",
+                                             "literal_hist"))
 def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
-                          margin: float, k_max: int = 64) -> jnp.ndarray:
+                          margin: float, k_max: int = 64,
+                          entropy_correction: str = "none",
+                          literal_hist: str = "all") -> jnp.ndarray:
     """Per-image single-slice fallback: keep a segmentation only when the
     on-device size model predicts its slices total BELOW margin x the whole
     image as one slice; otherwise zero the labels (one full-canvas slice —
@@ -89,9 +92,11 @@ def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
     form (one region whose smallest pixel index is 0).
     """
     est_sliced = estimated_total_sizes_batched(
-        images_f01, labels, k_max=k_max, minlabel=True)
+        images_f01, labels, k_max=k_max, minlabel=True,
+        entropy_correction=entropy_correction, literal_hist=literal_hist)
     est_whole = estimated_total_sizes_batched(
-        images_f01, jnp.zeros_like(labels), k_max=k_max, minlabel=True)
+        images_f01, jnp.zeros_like(labels), k_max=k_max, minlabel=True,
+        entropy_correction=entropy_correction, literal_hist=literal_hist)
     # Both sides price RGBA deliberately. The fallback slice is actually
     # written as RGB (full-bbox opaque -> color type 2, io/slicer.py), but
     # the estimator's channel-MEAN entropy model prices a constant alpha
@@ -119,8 +124,11 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
                            hier_caps=mc.hier_caps, hier_agg=mc.hier_agg,
                            hier_leaf=mc.hier_leaf)
     if cfg.compress_fallback:
-        labels = fallback_single_slice(batch, labels, cfg.fallback_margin,
-                                       k_max=cfg.reward.max_segments)
+        labels = fallback_single_slice(
+            batch, labels, cfg.fallback_margin,
+            k_max=cfg.reward.max_segments,
+            entropy_correction=cfg.reward.entropy_correction,
+            literal_hist=cfg.reward.literal_hist)
     return labels
 
 

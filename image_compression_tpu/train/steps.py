@@ -209,6 +209,9 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
             overhead_base=rw.overhead_base,
             adaptive_filter=rw.adaptive_filter,
             lam=rw.lambda_single_segment,
+            entropy_correction=rw.entropy_correction,
+            literal_hist=rw.literal_hist,
+            fallback_aware=rw.fallback_aware,
             minlabel=produces_minlabel(height, width, mc.mode,
                                        mc.icm_sweeps))
         return w, rewards
@@ -327,6 +330,9 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
             overhead_base=rw.overhead_base,
             adaptive_filter=rw.adaptive_filter,
             lam=rw.lambda_single_segment,
+            entropy_correction=rw.entropy_correction,
+            literal_hist=rw.literal_hist,
+            fallback_aware=rw.fallback_aware,
             minlabel=produces_minlabel(height, width, mc.mode,
                                        mc.icm_sweeps))
 

@@ -113,6 +113,150 @@ def create_random_patterns(cache_dir, width: int = 1024, height: int = 1024,
     return written
 
 
+# ---------------------------------------------------------------------------
+# Mixed-compressibility composites (known-partition headroom corpus)
+#
+# The reference's premise is that images which split into statistically
+# homogeneous parts encode smaller as per-part PNGs (readme.md:40-53); its
+# pattern generator ships the single-statistics building blocks above but
+# never composes them (pattern_generator.cpp:11-40 is orphaned). These
+# composites do the composing, with the ground-truth partition returned next
+# to the pixels, so benchmarks can (a) prove REAL headroom by encoding the
+# known-partition slices and (b) check the product keeps the win.
+#
+# Why slicing wins here (measured, /tmp + BENCHMARKS.md round 4): DEFLATE
+# codes literals with one Huffman table per ~16k-symbol block, and a block
+# spans ~20 full rows of a 256px image — when region statistics INTERLEAVE
+# horizontally (mosaic cells / vertical strips), every block pays the
+# MIXTURE entropy of all region distributions, which exceeds the mean of the
+# per-region entropies (Jensen). Slicing restores per-region tables. The
+# same Jensen gap appears in the size estimator's per-segment histograms, so
+# the compress fallback KEEPS these slicings — unlike e.g. LZ-window-period
+# content, whose (even larger) real win the estimator cannot see.
+# Flat-next-to-noise composites do NOT win for real: zlib codes the flat
+# half as matches and dodges the mixture (also measured; that class exists
+# in the corpus as a fallback-should-decline control).
+# ---------------------------------------------------------------------------
+
+
+def _noise_cell(h: int, w: int, sigma: float, mean: float,
+                rng: np.random.Generator) -> np.ndarray:
+    if sigma <= 0:
+        return np.full((h, w, 3), int(mean), np.uint8)
+    return np.clip(rng.normal(mean, sigma, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def _anticorr_cell(h: int, w: int, amp: float, base: float,
+                   rng: np.random.Generator) -> np.ndarray:
+    """High-amplitude per-channel noise that is EXACTLY luma-flat: R and G
+    move in a ratio that cancels under the BT.601 weights
+    (0.299*0.587a - 0.587*0.299a = 0), so a grayscale edge detector sees
+    only the cell borders while the per-channel byte entropy is near-full.
+    Models compound images whose parts differ in chroma statistics but not
+    luminance (print textures, chroma-noisy camera regions)."""
+    u = rng.uniform(-1.0, 1.0, (h, w))
+    out = np.empty((h, w, 3))
+    out[..., 0] = base + 0.587 * amp * u
+    out[..., 1] = base - 0.299 * amp * u
+    out[..., 2] = base
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def generate_sigma_mosaic(width: int, height: int, rng: np.random.Generator,
+                          cell: int = 64,
+                          sigmas=(0.0, 2.0, 5.0, 12.0),
+                          means=(50, 110, 170, 230)
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Grid mosaic of i.i.d. noise cells with per-cell sigma cycled so every
+    grid row mixes all classes (latin-square-ish). Sigmas stay below Canny's
+    hysteresis trigger (blurred sigma*|Sobel| << 150) so cell interiors are
+    edge-free while the mean steps mark the borders. Returns (image [H,W,3]
+    u8, labels [H,W] int64 — one label per cell)."""
+    img = np.zeros((height, width, 3), np.uint8)
+    lab = np.zeros((height, width), np.int64)
+    k = 0
+    for y in range(0, height, cell):
+        for x in range(0, width, cell):
+            s = sigmas[k % len(sigmas)]
+            m = means[(k + k // (width // cell)) % len(means)]
+            img[y:y + cell, x:x + cell] = _noise_cell(
+                min(cell, height - y), min(cell, width - x), s, m, rng)
+            lab[y:y + cell, x:x + cell] = k
+            k += 1
+    return img, lab
+
+
+def generate_anticorr_mosaic(width: int, height: int,
+                             rng: np.random.Generator, cell: int = 64,
+                             amps=(0.0, 40.0, 120.0, 240.0),
+                             bases=(60, 110, 160, 210)
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Grid mosaic of luma-flat chroma-noise cells (see _anticorr_cell) with
+    amplitude diversity — the per-channel entropy spread (0..~7.5 bits)
+    maximizes the whole-image mixture gap that slicing recovers."""
+    img = np.zeros((height, width, 3), np.uint8)
+    lab = np.zeros((height, width), np.int64)
+    k = 0
+    for y in range(0, height, cell):
+        for x in range(0, width, cell):
+            a = amps[k % len(amps)]
+            b = bases[(k + k // (width // cell)) % len(bases)]
+            img[y:y + cell, x:x + cell] = _anticorr_cell(
+                min(cell, height - y), min(cell, width - x), a, b, rng)
+            lab[y:y + cell, x:x + cell] = k
+            k += 1
+    return img, lab
+
+
+def generate_mixed_mosaic(width: int, height: int, rng: np.random.Generator,
+                          cell: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Alternating sigma-noise and chroma-noise cells: the widest statistics
+    spread per block, hence the largest estimator-visible headroom."""
+    sigmas = (0.0, 3.0, 8.0)
+    amps = (60.0, 160.0, 255.0)
+    bases = (50, 110, 170, 230)
+    img = np.zeros((height, width, 3), np.uint8)
+    lab = np.zeros((height, width), np.int64)
+    k = 0
+    for y in range(0, height, cell):
+        for x in range(0, width, cell):
+            b = bases[(k + k // (width // cell)) % len(bases)]
+            ch, cw = min(cell, height - y), min(cell, width - x)
+            if k % 2 == 0:
+                patch = _noise_cell(ch, cw, sigmas[(k // 2) % 3], b, rng)
+            else:
+                patch = _anticorr_cell(ch, cw, amps[(k // 2) % 3], b, rng)
+            img[y:y + cell, x:x + cell] = patch
+            lab[y:y + cell, x:x + cell] = k
+            k += 1
+    return img, lab
+
+
+def generate_flat_noise_composite(width: int, height: int,
+                                  rng: np.random.Generator
+                                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Control class: one uniform-noise rectangle on a flat background.
+    Slicing does NOT win here for real (zlib codes the flat part as matches
+    either way, and the extra slice container costs bytes) — the corpus
+    includes it to check the fallback correctly DECLINES to slice."""
+    img = np.full((height, width, 3), int(rng.integers(120, 220)), np.uint8)
+    lab = np.zeros((height, width), np.int64)
+    h2, w2 = height // 2, width // 2
+    y0 = int(rng.integers(0, height - h2))
+    x0 = int(rng.integers(0, width - w2))
+    img[y0:y0 + h2, x0:x0 + w2] = rng.integers(0, 256, (h2, w2, 3), np.uint8)
+    lab[y0:y0 + h2, x0:x0 + w2] = 1
+    return img, lab
+
+
+MOSAIC_GENERATORS = {
+    "sigma_mosaic": generate_sigma_mosaic,
+    "anticorr_mosaic": generate_anticorr_mosaic,
+    "mixed_mosaic": generate_mixed_mosaic,
+    "flat_noise": generate_flat_noise_composite,
+}
+
+
 def generate_random_partition(height: int, width: int, num_segments: int,
                               seed: int = 0) -> np.ndarray:
     """Multi-seed BFS region growth -> connected random segmentation

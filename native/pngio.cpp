@@ -85,15 +85,6 @@ void filter_row(uint8_t filter, const uint8_t* cur, const uint8_t* prev,
     }
 }
 
-uint64_t row_cost(const uint8_t* filtered, int stride) {
-    uint64_t s = 0;
-    for (int i = 0; i < stride; ++i) {
-        int8_t v = (int8_t)filtered[i];
-        s += (uint64_t)std::abs((int)v);
-    }
-    return s;
-}
-
 inline uint64_t abs_i8(uint8_t r) {
     int8_t v = (int8_t)r;
     return (uint64_t)std::abs((int)v);
@@ -359,22 +350,40 @@ static int write_slices_impl(const uint8_t* img_rgba, const int32_t* labels,
                              int level, int n_threads, int pack) {
     if (!img_rgba || !labels || !out_path) return -1;
 
-    // one pass: bbox per label
+    // one RUN-based pass: bbox + pixel count per label. Label maps are
+    // piecewise constant along rows (connected multicut regions), so only
+    // run endpoints touch the bbox arrays — ~runs/row updates instead of
+    // width (VERDICT r3 next #5).
     int32_t max_label = 0;
     for (size_t i = 0; i < (size_t)height * width; ++i)
         max_label = std::max(max_label, labels[i]);
     const int k = max_label + 1;
     std::vector<int32_t> x0(k, width), y0(k, height), x1(k, -1), y1(k, -1);
+    std::vector<uint32_t> cnt(k, 0);
     for (int y = 0; y < height; ++y) {
-        for (int x = 0; x < width; ++x) {
-            int32_t lab = labels[(size_t)y * width + x];
-            if (lab < 0) continue;
-            x0[lab] = std::min(x0[lab], x);
-            y0[lab] = std::min(y0[lab], y);
-            x1[lab] = std::max(x1[lab], x);
-            y1[lab] = std::max(y1[lab], y);
+        const int32_t* row = labels + (size_t)y * width;
+        int x = 0;
+        while (x < width) {
+            const int32_t lab = row[x];
+            int x2 = x + 1;
+            while (x2 < width && row[x2] == lab) ++x2;
+            if (lab >= 0) {
+                x0[lab] = std::min(x0[lab], x);
+                x1[lab] = std::max(x1[lab], x2 - 1);
+                y0[lab] = std::min(y0[lab], y);
+                y1[lab] = std::max(y1[lab], y);
+                cnt[lab] += (uint32_t)(x2 - x);
+            }
+            x = x2;
         }
     }
+
+    // one whole-image opacity scan: compress inputs are opaque RGBA almost
+    // always, and knowing it up front removes the per-pixel alpha checks
+    // from every slice crop below
+    bool all_opaque = true;
+    for (size_t i = 0; i < (size_t)height * width && all_opaque; ++i)
+        all_opaque = img_rgba[4 * i + 3] == 255;
 
     struct Meta {
         int32_t label, x, y, w, h;
@@ -400,7 +409,6 @@ static int write_slices_impl(const uint8_t* img_rgba, const int32_t* labels,
             int lab = present[i];
             int bw = x1[lab] - x0[lab] + 1;
             int bh = y1[lab] - y0[lab] + 1;
-            crop.assign((size_t)bw * bh * 4, 0);
             // A slice whose segment fills its whole bbox with opaque source
             // pixels carries no information in its alpha plane: write it as
             // RGB (color type 2) and save a quarter of the raw bytes.
@@ -408,27 +416,58 @@ static int write_slices_impl(const uint8_t* img_rgba, const int32_t* labels,
             // alpha>0 compositing mask was all-true for such slices anyway,
             // reassemble.cpp:94-98). The single-slice fallback's full-canvas
             // slice always hits this path.
-            size_t matched = 0;
-            bool opaque = true;
-            for (int y = 0; y < bh; ++y) {
-                const int gy = y0[lab] + y;
-                const int32_t* lrow = labels + (size_t)gy * width + x0[lab];
-                const uint8_t* irow =
-                    img_rgba + ((size_t)gy * width + x0[lab]) * 4;
-                uint8_t* orow = crop.data() + (size_t)y * bw * 4;
-                for (int x = 0; x < bw; ++x)
-                    if (lrow[x] == lab) {
-                        std::memcpy(orow + (size_t)x * 4, irow + (size_t)x * 4,
-                                    4);
-                        ++matched;
-                        opaque = opaque && irow[(size_t)x * 4 + 3] == 255;
-                    }
-            }
-            int channels = 4;
-            if (opaque && matched == (size_t)bw * bh) {
+            const bool full_bbox = cnt[lab] == (uint32_t)bw * (uint32_t)bh;
+            int channels;
+            if (full_bbox && all_opaque) {
+                // fast path: no zero-fill, no mask checks, RGB written
+                // directly from the source rows (no RGBA-then-squeeze)
                 channels = 3;
-                for (size_t p = 0; p < (size_t)bw * bh; ++p)
-                    std::memmove(crop.data() + p * 3, crop.data() + p * 4, 3);
+                crop.resize((size_t)bw * bh * 3);
+                for (int y = 0; y < bh; ++y) {
+                    const uint8_t* irow =
+                        img_rgba +
+                        (((size_t)(y0[lab] + y)) * width + x0[lab]) * 4;
+                    uint8_t* orow = crop.data() + (size_t)y * bw * 3;
+                    for (int x = 0; x < bw; ++x) {
+                        orow[3 * x] = irow[4 * x];
+                        orow[3 * x + 1] = irow[4 * x + 1];
+                        orow[3 * x + 2] = irow[4 * x + 2];
+                    }
+                }
+            } else {
+                crop.assign((size_t)bw * bh * 4, 0);
+                size_t matched = 0;
+                bool opaque = true;
+                for (int y = 0; y < bh; ++y) {
+                    const int gy = y0[lab] + y;
+                    const int32_t* lrow =
+                        labels + (size_t)gy * width + x0[lab];
+                    const uint8_t* irow =
+                        img_rgba + ((size_t)gy * width + x0[lab]) * 4;
+                    uint8_t* orow = crop.data() + (size_t)y * bw * 4;
+                    // span copies over the row's contiguous label runs
+                    int x = 0;
+                    while (x < bw) {
+                        if (lrow[x] != lab) { ++x; continue; }
+                        int x2 = x + 1;
+                        while (x2 < bw && lrow[x2] == lab) ++x2;
+                        std::memcpy(orow + (size_t)x * 4,
+                                    irow + (size_t)x * 4,
+                                    (size_t)(x2 - x) * 4);
+                        matched += (size_t)(x2 - x);
+                        if (!all_opaque)
+                            for (int xx = x; xx < x2 && opaque; ++xx)
+                                opaque = irow[(size_t)xx * 4 + 3] == 255;
+                        x = x2;
+                    }
+                }
+                channels = 4;
+                if (opaque && matched == (size_t)bw * bh) {
+                    channels = 3;
+                    for (size_t p = 0; p < (size_t)bw * bh; ++p)
+                        std::memmove(crop.data() + p * 3,
+                                     crop.data() + p * 4, 3);
+                }
             }
             uint8_t* png = nullptr;
             size_t png_len = 0;
@@ -513,6 +552,72 @@ int pngio_write_slices(const uint8_t* img_rgba, const int32_t* labels,
                        int level, int n_threads) {
     return write_slices_impl(img_rgba, labels, height, width, out_dir, level,
                              n_threads, 0);
+}
+
+// Reconstruct the pixel label map from bit-packed inter-pixel connectivity
+// planes. hbits/vbits are row-major [height][ceil(width/8)] with bit x%8 of
+// byte x/8 in row y set iff the edge (y,x)-(y,x+1) resp. (y,x)-(y+1,x)
+// CONNECTS (the device packs them in ops/labels_wire.py; the v plane's last
+// row is padding). Union-find with smaller-root-wins unions: the final root
+// of every component is its smallest flat pixel index, i.e. exactly the
+// device solver's minlabel contract (ops/multicut.py) — host labels match
+// the device's bit-for-bit, only 2 bits/pixel ever cross the relay instead
+// of 16 (the reference ships full label tensors, compress.cpp:141-142).
+int pngio_labels_from_conn(const uint8_t* hbits, const uint8_t* vbits,
+                           int height, int width, int32_t* labels_out) {
+    if (!hbits || !vbits || !labels_out || height <= 0 || width <= 0)
+        return -1;
+    const int stride = (width + 7) / 8;
+    const size_t n = (size_t)height * width;
+    std::vector<int32_t> parent(n);
+    for (size_t i = 0; i < n; ++i) parent[i] = (int32_t)i;
+    auto find = [&](size_t i) {
+        while (parent[i] != (int32_t)i) {
+            parent[i] = parent[parent[i]];  // path halving
+            i = (size_t)parent[i];
+        }
+        return i;
+    };
+    auto unite = [&](size_t a, size_t b) {
+        size_t ra = find(a), rb = find(b);
+        if (ra == rb) return;
+        if (ra < rb)
+            parent[rb] = (int32_t)ra;
+        else
+            parent[ra] = (int32_t)rb;
+    };
+    for (int y = 0; y < height; ++y) {
+        const uint8_t* hrow = hbits + (size_t)y * stride;
+        const uint8_t* vrow = vbits + (size_t)y * stride;
+        const size_t base = (size_t)y * width;
+        for (int xb = 0; xb < stride; ++xb) {
+            uint8_t hb = hrow[xb];
+            uint8_t vb = y + 1 < height ? vrow[xb] : 0;
+            if (!hb && !vb) continue;
+            const int x0b = xb * 8;
+            for (int k = 0; k < 8 && x0b + k < width; ++k) {
+                if ((hb >> k) & 1 && x0b + k + 1 < width)
+                    unite(base + x0b + k, base + x0b + k + 1);
+                if ((vb >> k) & 1) unite(base + x0b + k, base + x0b + k + width);
+            }
+        }
+    }
+    for (size_t i = 0; i < n; ++i) labels_out[i] = (int32_t)find(i);
+    return 0;
+}
+
+// Slice directly from packed connectivity planes: label reconstruction +
+// write_slices in one native call — the full host half of compress after a
+// 2-bit/pixel fetch.
+int pngio_write_slices_conn(const uint8_t* img_rgba, const uint8_t* hbits,
+                            const uint8_t* vbits, int height, int width,
+                            const char* out_path, int level, int n_threads,
+                            int pack) {
+    std::vector<int32_t> labels((size_t)height * width);
+    if (pngio_labels_from_conn(hbits, vbits, height, width, labels.data()))
+        return -1;
+    return write_slices_impl(img_rgba, labels.data(), height, width, out_path,
+                             level, n_threads, pack);
 }
 
 int pngio_write_slices_pack(const uint8_t* img_rgba, const int32_t* labels,

@@ -32,7 +32,8 @@ def paeth(a, b, c):
 
 
 def oracle_segment_size(img_u8, labels, k, x0, y0, x1, y1,
-                        adaptive_filter=True):
+                        adaptive_filter=True, entropy_correction="none",
+                        literal_hist="all"):
     """Scalar-loop transcription of the masked estimator
     (png_size_estimator.cu:60-463) with exact (unchunked) run stats."""
     h = y1 - y0 + 1
@@ -81,29 +82,37 @@ def oracle_segment_size(img_u8, labels, k, x0, y0, x1, y1,
     stream = np.asarray(stream, np.int64)
     n = stream.size
 
-    # entropy
-    hbar = 0.0
-    for c in range(channels):
-        vals = stream[c::channels]
-        hist = np.bincount(vals, minlength=256)
-        p = hist[hist > 0] / (w * h)
-        hbar += float(-(p * np.log2(p)).sum())
-    hbar /= channels
-
-    # exact run-length stats
+    # exact run-length stats (+ which positions long runs cover)
     ms = mc = 0
+    covered = np.zeros(n, bool)
     run = 1
-    for i in range(1, n):
-        if stream[i] == stream[i - 1]:
+    for i in range(1, n + 1):
+        if i < n and stream[i] == stream[i - 1]:
             run += 1
         else:
             if run >= L_MIN:
                 ms += run
                 mc += 1
+                covered[i - run:i] = True
             run = 1
-    if run >= L_MIN:
-        ms += run
-        mc += 1
+
+    # entropy (literal_hist="nonmatch": histogram only the bytes DEFLATE's
+    # literal code sees, i.e. positions not covered by a long run)
+    hbar = 0.0
+    for c in range(channels):
+        keep = (np.arange(n) % channels == c)
+        if literal_hist == "nonmatch":
+            keep &= ~covered
+        vals = stream[keep]
+        hist = np.bincount(vals, minlength=256)
+        n_ch = vals.size if literal_hist == "nonmatch" else w * h
+        p = hist[hist > 0] / max(n_ch, 1)
+        hc = float(-(p * np.log2(p)).sum())
+        if entropy_correction == "miller_madow":
+            k_occ = int((hist > 0).sum())
+            hc = min(hc + (k_occ - 1) / (2 * max(n_ch, 1) * np.log(2)), 8.0)
+        hbar += hc
+    hbar /= channels
 
     f_match = ms / n if n > 0 and ms > 0 else 0.0
     l_bar = ms / mc if mc > 0 else float(L_MIN)
@@ -113,11 +122,13 @@ def oracle_segment_size(img_u8, labels, k, x0, y0, x1, y1,
     return OVERHEAD + h + n * b_data / 8.0
 
 
-def run_jax_estimator(img_u8, labels, k_max=8, adaptive_filter=True):
+def run_jax_estimator(img_u8, labels, k_max=8, adaptive_filter=True,
+                      entropy_correction="none", literal_hist="all"):
     stats = segment_stats(jnp.asarray(labels), k_max)
     sizes = estimate_segment_png_sizes(
         jnp.asarray(img_u8), stats.inverse, stats.counts, stats.bboxes,
-        stats.valid, adaptive_filter=adaptive_filter)
+        stats.valid, adaptive_filter=adaptive_filter,
+        entropy_correction=entropy_correction, literal_hist=literal_hist)
     return np.asarray(sizes), stats
 
 
@@ -133,6 +144,51 @@ def test_matches_oracle_random(seed, adaptive):
         x0, y0, x1, y1 = bboxes[slot]
         expected = oracle_segment_size(img, np.asarray(stats.inverse), slot,
                                        x0, y0, x1, y1, adaptive)
+        np.testing.assert_allclose(sizes[slot], expected, rtol=1e-4,
+                                   err_msg=f"segment {slot}")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_oracle_miller_madow(seed):
+    """The small-sample entropy correction (ops/png_estimator.py) matches the
+    oracle's closed form: H + (K_occupied-1)/(2N ln 2), capped at 8 bits.
+    Small crops make the correction term material (N = w*h is tiny)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (12, 10, 4), np.uint8)
+    labels = rng.choice([3, 7, 11], size=(12, 10)).astype(np.int64)
+    sizes, stats = run_jax_estimator(img, labels,
+                                     entropy_correction="miller_madow")
+    sizes_plain, _ = run_jax_estimator(img, labels)
+    bboxes = np.asarray(stats.bboxes)
+    for slot in range(int(stats.num_segments)):
+        x0, y0, x1, y1 = bboxes[slot]
+        expected = oracle_segment_size(img, np.asarray(stats.inverse), slot,
+                                       x0, y0, x1, y1,
+                                       entropy_correction="miller_madow")
+        np.testing.assert_allclose(sizes[slot], expected, rtol=1e-4,
+                                   err_msg=f"segment {slot}")
+        # the correction only ever raises the estimate
+        assert sizes[slot] >= sizes_plain[slot] - 1e-3
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_oracle_nonmatch_literals(seed):
+    """literal_hist="nonmatch" (the DEFLATE-faithful literal pricing) matches
+    the oracle with long-run-covered positions excluded per channel. The
+    image mixes a flat half (long zero runs) with a noise half so the two
+    modes genuinely diverge."""
+    rng = np.random.default_rng(seed)
+    img = np.full((16, 12, 4), 90, np.uint8)
+    img[:, 6:] = rng.integers(0, 256, (16, 6, 4), np.uint8)
+    labels = np.zeros((16, 12), np.int64)
+    labels[8:] = 1
+    sizes, stats = run_jax_estimator(img, labels, literal_hist="nonmatch")
+    bboxes = np.asarray(stats.bboxes)
+    for slot in range(int(stats.num_segments)):
+        x0, y0, x1, y1 = bboxes[slot]
+        expected = oracle_segment_size(img, np.asarray(stats.inverse), slot,
+                                       x0, y0, x1, y1,
+                                       literal_hist="nonmatch")
         np.testing.assert_allclose(sizes[slot], expected, rtol=1e-4,
                                    err_msg=f"segment {slot}")
 
