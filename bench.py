@@ -58,7 +58,6 @@ def main():
     import jax.numpy as jnp
 
     from image_compression_tpu.config import Config
-    from image_compression_tpu.io.slicer import write_slices
     from image_compression_tpu.models.unet import EdgeUNet
     from image_compression_tpu.ops.edges import (edge_validity_masks,
                                                  split_model_output,
@@ -97,14 +96,21 @@ def main():
                               hier_caps=mc.hier_caps,
                               hier_agg=mc.hier_agg)
 
+    from image_compression_tpu.ops.labels_wire import pack_connectivity
+
     @jax.jit
     def segment_program(params, images):
         out = model.apply(params, images)
         mu_raw, _ = split_model_output(out)
         mu = squash_mu(mu_raw) * edge_validity_masks(size, size)
         labels = jax.vmap(solve)(mu)
-        # labels are smallest-pixel-index < 2^16 at 256x256: ship as uint16
-        return labels.astype(jnp.uint16)
+        # device->host wire: 2-bit/pixel packed connectivity planes
+        # (ops/labels_wire.py) instead of round-3's uint16 label maps —
+        # 16 KB/img vs 128 KB through the ~32 MB/s fetch relay. The labels
+        # themselves stay on device for the estimator program; the host
+        # reconstructs exact minlabel ids natively (pngio_labels_from_conn).
+        hbits, vbits = pack_connectivity(labels)
+        return labels.astype(jnp.uint16), hbits, vbits
 
     def make_estimate_program(class_caps):
         """class_caps are BATCH TOTALS per crop class: the packed estimator
@@ -148,14 +154,14 @@ def main():
 
     def make_compress_step(estimate_program):
         def compress_step(params, images):
-            labels_u16 = segment_program(params, images)
+            labels_u16, hbits, vbits = segment_program(params, images)
             counts, sizes = estimate_program(images, labels_u16)
-            return labels_u16, counts, sizes
+            return hbits, vbits, counts, sizes
         return compress_step
 
     def fetch(step_out):
-        labels_u16, _counts, sizes = step_out
-        return np.asarray(labels_u16).astype(np.int64), float(jnp.sum(sizes))
+        hbits, vbits, _counts, sizes = step_out
+        return np.asarray(hbits), np.asarray(vbits), float(jnp.sum(sizes))
 
     # Pre-staged distinct inputs + ONE sync program per timing round: the
     # naive loop's `images + 0.0001*i` bump and per-iter `jnp.sum`
@@ -214,9 +220,11 @@ def main():
         # does not reliably drain the queue on this backend; a host fetch
         # depending on the outputs does). Labels alone determine the caps,
         # so the warmup runs the parity program only.
-        labels_np = np.asarray(
-            segment_program(params, images_head)).astype(np.int64)
+        warm_labels, warm_hb, warm_vb = segment_program(params, images_head)
+        labels_np = np.asarray(warm_labels).astype(np.int64)
         labels_by_workload[name] = labels_np
+        if name == "trained":
+            wire_by_trained = (np.asarray(warm_hb), np.asarray(warm_vb))
         slices_per_img[name] = float(np.mean(
             [len(np.unique(l)) for l in labels_np]))
         # the timed program uses workload-derived estimator crop caps, the
@@ -255,12 +263,31 @@ def main():
     results["device_parity_b32_trained"] = parity_rate(
         params_trained, images_32, 32)
 
-    # host slice cost (per image, RAM-backed staging), trained workload
-    labels_np = labels_by_workload["trained"]
+    # host slice cost (per image, RAM-backed staging), trained workload —
+    # measured from the wire the pipeline actually ships (packed
+    # connectivity planes; includes the native union-find reconstruction)
+    from image_compression_tpu.io.slicer import write_slices_from_conn
+    hb_np, vb_np = wire_by_trained
     t0 = time.perf_counter()
     for i in range(batch_head):
-        write_slices(images_head_u8[i], labels_np[i], staging, f"host_{i}")
+        write_slices_from_conn(images_head_u8[i], hb_np[i], vb_np[i],
+                               staging, f"host_{i}")
     host_ms_per_img = (time.perf_counter() - t0) / batch_head * 1000
+
+    # label-fetch term: pure device->host transfer of one staged batch's
+    # wire (arrays already computed on device, so asarray times the relay
+    # only); the uint16 label map is fetched next to it for comparison
+    step_out = steps_by_workload["trained"](params_trained, images_head)
+    float(jnp.sum(step_out[3]))                 # drain the queue first
+    hb_dev, vb_dev = step_out[0], step_out[1]
+    t0 = time.perf_counter()
+    np.asarray(hb_dev), np.asarray(vb_dev)
+    fetch_conn_ms_per_img = (time.perf_counter() - t0) / batch_head * 1000
+    lab_dev, _, _ = segment_program(params_trained, images_head)
+    float(jnp.sum(lab_dev.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    np.asarray(lab_dev)
+    fetch_u16_ms_per_img = (time.perf_counter() - t0) / batch_head * 1000
 
     # full pipeline, overlapped on BOTH seams: device batch i+1 is dispatched
     # while the host works on batch i, and the device->host label fetch of
@@ -278,11 +305,11 @@ def main():
         for i in range(n_iters):
             nxt = compress_step_trained(params_trained,
                                         images_head + 0.0001 * i)
-            labels_np, _ = fut.result()   # batch i ready (fetch overlapped)
+            hb, vb, _ = fut.result()      # batch i ready (fetch overlapped)
             fut = pool.submit(fetch, nxt)  # fetch i+1 while slicing i
             for b in range(batch_head):
-                write_slices(images_head_u8[b], labels_np[b], staging,
-                             f"it{i}_{b}")
+                write_slices_from_conn(images_head_u8[b], hb[b], vb[b],
+                                       staging, f"it{i}_{b}")
         fut.result()
         return (time.perf_counter() - t0) / (n_iters + 1)
 
@@ -311,6 +338,8 @@ def main():
         "slices_per_img_random": round(
             slices_per_img["random_weights"], 1),
         "host_slice_ms_per_img": round(host_ms_per_img, 2),
+        "label_fetch_conn_ms_per_img": round(fetch_conn_ms_per_img, 3),
+        "label_fetch_u16_ms_per_img": round(fetch_u16_ms_per_img, 3),
         "estimator_class_caps_trained": list(caps_by_workload["trained"]),
         "estimator_class_caps_random": list(
             caps_by_workload["random_weights"]),

@@ -86,6 +86,15 @@ def load_library():
     lib.pngio_write_slices.restype = ctypes.c_int
     lib.pngio_write_slices_pack.argtypes = lib.pngio_write_slices.argtypes
     lib.pngio_write_slices_pack.restype = ctypes.c_int
+    lib.pngio_labels_from_conn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    lib.pngio_labels_from_conn.restype = ctypes.c_int
+    lib.pngio_write_slices_conn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.pngio_write_slices_conn.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -168,4 +177,57 @@ def write_slices_native(image_rgba_u8: np.ndarray, labels_hw: np.ndarray,
         h, w, str(out_path).encode(), level, n_threads)
     if rc < 0:
         raise RuntimeError("pngio_write_slices failed")
+    return rc
+
+
+def _conn_buffers(hbits: np.ndarray, vbits: np.ndarray,
+                  height: int, width: int):
+    stride = -(-width // 8)
+    hb = np.ascontiguousarray(hbits, np.uint8)
+    vb = np.ascontiguousarray(vbits, np.uint8)
+    assert hb.shape == (height, stride), (hb.shape, height, stride)
+    assert vb.shape == (height, stride), (vb.shape, height, stride)
+    return hb, vb
+
+
+def labels_from_conn_native(hbits: np.ndarray, vbits: np.ndarray,
+                            height: int, width: int) -> np.ndarray:
+    """Min-root union-find label reconstruction from bit-packed connectivity
+    (native/pngio.cpp). Returns int32 [H, W] minlabel ids — bit-identical to
+    the device solver's labels (ops/labels_wire.py docstring)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    hb, vb = _conn_buffers(hbits, vbits, height, width)
+    out = np.empty((height, width), np.int32)
+    rc = lib.pngio_labels_from_conn(
+        hb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        height, width, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise RuntimeError("pngio_labels_from_conn failed")
+    return out
+
+
+def write_slices_conn_native(image_rgba_u8: np.ndarray, hbits: np.ndarray,
+                             vbits: np.ndarray, out_path: str,
+                             level: int = 4, n_threads: int = 0,
+                             pack: bool = False) -> int:
+    """Slice directly from packed connectivity planes: native union-find
+    label reconstruction + the parallel slicer in one call (the full host
+    half of compress after a 2-bit/pixel fetch)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    img = np.ascontiguousarray(image_rgba_u8, np.uint8)
+    h, w = img.shape[:2]
+    assert img.shape == (h, w, 4), img.shape
+    hb, vb = _conn_buffers(hbits, vbits, h, w)
+    rc = lib.pngio_write_slices_conn(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        hb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, str(out_path).encode(), level, n_threads, 1 if pack else 0)
+    if rc < 0:
+        raise RuntimeError("pngio_write_slices_conn failed")
     return rc

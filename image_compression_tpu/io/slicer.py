@@ -150,3 +150,51 @@ def write_slices(image_hwc_u8: np.ndarray, labels_hw: np.ndarray,
         write_metadata_binary(metadata, out_target / "metadata.bin",
                               w_img, h_img)
     return success
+
+
+def write_slices_from_conn(image_hwc_u8: np.ndarray, hbits: np.ndarray,
+                           vbits: np.ndarray,
+                           output_path: str | pathlib.Path,
+                           file_directory_name: str | pathlib.Path,
+                           image_format: str = "png",
+                           compression_level: int = 4,
+                           max_workers: int | None = None,
+                           use_native: bool | None = None,
+                           container: str = "files") -> bool:
+    """write_slices from bit-packed connectivity planes instead of a label
+    map (ops/labels_wire.py wire format — 2 bits/pixel over the device->host
+    boundary instead of 16). The native path reconstructs labels and slices
+    in one call; the fallback reconstructs via scipy connected components.
+    Output bytes are identical to write_slices on the solver's labels
+    (min-root union-find == minlabel contract; tests/test_labels_wire.py)."""
+    if image_format != "png":
+        raise ValueError("write_slices_from_conn supports only 'png'")
+    if container not in ("files", "pack"):
+        raise ValueError(f"unknown container: {container!r}")
+    pack = container == "pack"
+    image_rgba = ensure_rgba(np.asarray(image_hwc_u8))
+    h_img, w_img = image_rgba.shape[:2]
+
+    if use_native is not False and image_rgba.dtype == np.uint8:
+        from image_compression_tpu.io import native
+        if native.available():
+            out_target = pathlib.Path(output_path) / (
+                f"{file_directory_name}.pack" if pack
+                else str(file_directory_name))
+            if pack:
+                out_target.parent.mkdir(parents=True, exist_ok=True)
+            else:
+                out_target.mkdir(parents=True, exist_ok=True)
+            n = native.write_slices_conn_native(
+                image_rgba, hbits, vbits, out_target, compression_level,
+                max_workers or 0, pack=pack)
+            return n >= 0
+        if use_native:
+            raise RuntimeError("native slicer requested but unavailable")
+
+    from image_compression_tpu.ops.labels_wire import labels_from_connectivity
+    labels = labels_from_connectivity(np.asarray(hbits), np.asarray(vbits),
+                                      h_img, w_img)
+    return write_slices(image_hwc_u8, labels.astype(np.int64), output_path,
+                        file_directory_name, image_format, compression_level,
+                        max_workers, use_native, container)

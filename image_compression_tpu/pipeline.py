@@ -132,6 +132,23 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
     return labels
 
 
+@jax.jit
+def _pack_wire(labels: jnp.ndarray):
+    """Device->host wire: 2-bit/pixel connectivity planes + a per-image
+    single-slice flag (ops/labels_wire.py). At 256px this fetches 16 KB/img
+    instead of the 128 KB uint16 label map — the round-3 e2e ceiling was the
+    ~32 MB/s fetch relay (compress.cpp:141-142 is the boundary beaten)."""
+    from image_compression_tpu.ops.labels_wire import pack_connectivity
+    hbits, vbits = pack_connectivity(labels)
+    single = jnp.all(labels == 0, axis=(-2, -1))
+    return hbits, vbits, single
+
+
+def _device_wire(images_u8: list[np.ndarray], cost_fn: Callable,
+                 cfg: Config):
+    return _pack_wire(_device_labels(images_u8, cost_fn, cfg))
+
+
 def write_passthrough(src_path: str | pathlib.Path,
                       shape_hw: tuple[int, int],
                       results_dir: str | pathlib.Path, name: str,
@@ -165,27 +182,30 @@ def write_passthrough(src_path: str | pathlib.Path,
     return out
 
 
-def _write_batch(images_u8: list[np.ndarray], labels: np.ndarray,
-                 cfg: Config, results_dir: str | pathlib.Path,
+def _write_batch(images_u8: list[np.ndarray], wire, cfg: Config,
+                 results_dir: str | pathlib.Path,
                  names: list[str | None],
                  src_paths: list | None = None) -> list[pathlib.Path]:
-    """Host half of compress for one batch: slice + write. With src_paths,
-    an all-zero labeling (the single-slice fallback) copies the original
-    PNG bytes instead of re-encoding (write_passthrough)."""
+    """Host half of compress for one batch: slice + write from the packed
+    connectivity wire (hbits, vbits, single). With src_paths, a flagged
+    single-slice image (the fallback) copies the original PNG bytes instead
+    of re-encoding (write_passthrough)."""
+    from image_compression_tpu.io.slicer import write_slices_from_conn
+    hbits, vbits, single = wire
     out_dirs = []
     pack = cfg.slice_container == "pack"
-    for i, (img, lab, name) in enumerate(zip(images_u8, labels, names)):
+    for i, (img, name) in enumerate(zip(images_u8, names)):
         if name is None:  # batch padding entry
             continue
         src = src_paths[i] if src_paths else None
-        if src is not None and cfg.compress_fallback and not lab.any():
+        if src is not None and cfg.compress_fallback and single[i]:
             out_dirs.append(write_passthrough(
-                src, lab.shape, results_dir, name,
+                src, img.shape[:2], results_dir, name,
                 container=cfg.slice_container))
             continue
-        write_slices(img, lab.astype(np.int64), results_dir, name,
-                     cfg.image_format, cfg.compression_level,
-                     container=cfg.slice_container)
+        write_slices_from_conn(img, hbits[i], vbits[i], results_dir, name,
+                               cfg.image_format, cfg.compression_level,
+                               container=cfg.slice_container)
         out_dirs.append(pathlib.Path(results_dir)
                         / (f"{name}.pack" if pack else name))
     return out_dirs
@@ -196,8 +216,8 @@ def compress_arrays(images_u8: list[np.ndarray], cost_fn: Callable,
                     names: list[str]) -> list[pathlib.Path]:
     """Compress a list of equally-sized uint8 HWC images: batch on device,
     slice + write on host. Returns the per-image output directories."""
-    labels = np.asarray(_device_labels(images_u8, cost_fn, cfg))
-    return _write_batch(images_u8, labels, cfg, results_dir, names)
+    wire = jax.tree.map(np.asarray, _device_wire(images_u8, cost_fn, cfg))
+    return _write_batch(images_u8, wire, cfg, results_dir, names)
 
 
 def image_dims(path: pathlib.Path) -> tuple[int, int]:
@@ -253,7 +273,7 @@ def compress_directory(cfg: Config, params=None, limit: int | None = None,
     from concurrent.futures import ThreadPoolExecutor
 
     out = []
-    pending = None  # (images, names, src paths, future of fetched labels)
+    pending = None  # (images, names, src paths, future of the fetched wire)
     with ThreadPoolExecutor(1) as pool:
         for shape, group in sorted(by_shape.items()):
             for i in range(0, len(group), batch_size):
@@ -261,8 +281,9 @@ def compress_directory(cfg: Config, params=None, limit: int | None = None,
                 imgs = [load_image(p) for p in chunk]
                 pad = (batch_size - len(chunk)
                        if len(group) > batch_size else 0)
-                labels = _device_labels(imgs + imgs[-1:] * pad, cost_fn, cfg)
-                fut = pool.submit(np.asarray, labels)
+                wire = _device_wire(imgs + imgs[-1:] * pad, cost_fn, cfg)
+                fut = pool.submit(
+                    lambda w=wire: jax.tree.map(np.asarray, w))
                 names = [p.stem for p in chunk] + [None] * pad
                 srcs = list(chunk) + [None] * pad
                 if pending is not None:
