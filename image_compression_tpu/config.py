@@ -108,6 +108,13 @@ class PretrainConfig:
     val_every: int = 100
     max_train_images: int = 100_000
     max_val_images: int = 128
+    target_ensemble: bool = False  # train against ALL FOUR classical
+    #   extractors, cycled per batch (validation stays on edge_target for
+    #   protocol comparability). BCE is linear in the target, so cycling
+    #   binary targets optimizes the same objective as the soft 4-way mean
+    #   — without breaking the packed-bits target caches. Divergence from
+    #   the reference's single compile-time EDGE_TARGET (configuration.h:20)
+    #   gated off by default; VERDICT r3 next #7.
 
 
 @dataclasses.dataclass

@@ -123,16 +123,22 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
     regions — exactly what multicut_grid emits (the RL step sets it).
 
     fallback_aware=True (documented divergence; cfg.reward.fallback_aware)
-    prices each image at the PRODUCT's decision rule instead of the
-    always-slice cost: compress keeps a segmentation only when the size
-    model predicts it below the whole image as one slice
-    (pipeline.py::fallback_single_slice), so the realized output is
-    min(est_sliced, est_whole) and the reward becomes
-        R = (size - min(est_sliced, est_whole)) / size.
-    On images where no slicing can win, R is a policy-independent constant
-    (the fallback's saving), so they stop dragging the gradient — the
-    reference's reward punishes the policy for the image's own
-    incompressibility there (compute_rewards.cu:182-192). The
+    scores each image against the PRODUCT's alternative instead of the
+    raw file size: compress keeps a segmentation only when the size model
+    predicts it below the whole image as one slice
+    (pipeline.py::fallback_single_slice), so the policy's useful output is
+    its advantage over that option and the reward becomes
+        R = (est_whole - est_sliced) / size.
+    est_whole is policy-independent, so it acts as an exact per-image
+    baseline: image difficulty never reaches the gradient (the reference's
+    reward punishes the policy for the image's own incompressibility,
+    compute_rewards.cu:182-192). R > 0 iff the slicing would be KEPT and by
+    how much it wins; R < 0 grades how badly it loses. A hard
+    min(est_sliced, est_whole) — the product's realized cost — was tried
+    first and REVERTED for training: every losing slicing earns the same
+    floor reward, so the gradient cannot distinguish "nearly winning" from
+    catastrophic, and a 50-epoch run drifted its eval from +0.053 to
+    +0.038 (metrics_r4_rl_fbmin.jsonl, negative result). The
     single-segment penalty is dropped in this mode: collapsing to one
     slice IS the fallback option, not a degenerate outcome."""
     imgs_rgba = to_rgba_u8(images_f01)
@@ -155,7 +161,7 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                 adaptive_filter=adaptive_filter, fast=fast,
                 minlabel=minlabel, entropy_correction=entropy_correction,
                 literal_hist=literal_hist)
-            return (size - jnp.minimum(total_est, est_whole)) / size
+            return (est_whole - total_est) / size
         penalty = (k_valid == 1).astype(jnp.float32)
         gain = (size - total_est) / size
         return gain - lam * penalty

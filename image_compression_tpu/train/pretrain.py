@@ -116,9 +116,19 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
     step_fn = make_pretrain_step(model, tx, cfg)
     eval_fn = make_pretrain_eval(model, cfg)
 
-    @jax.jit
-    def targets_fn(images):
-        return create_target_with_mask(images, cfg.edge_target)
+    import functools
+
+    from image_compression_tpu.config import EdgeTarget
+
+    # cycled extractor schedule (cfg.pretrain.target_ensemble): batch t
+    # trains against extractor t mod 4; validation stays on cfg.edge_target
+    ensemble = ([EdgeTarget.GRAPH, EdgeTarget.CANNY, EdgeTarget.SLIC,
+                 EdgeTarget.WATERSHED] if p.target_ensemble
+                else [cfg.edge_target])
+
+    @functools.partial(jax.jit, static_argnames=("target",))
+    def targets_fn(images, target=cfg.edge_target):
+        return create_target_with_mask(images, target)
 
     # targets are deterministic per image: compute once, reuse across epochs
     # (the reference recomputes them in dataloader workers every epoch,
@@ -145,29 +155,29 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         return flat.reshape(cfg.image_size, cfg.image_size, 2) \
             .astype(np.float32)
 
-    disk = TargetDiskCache(cfg.cache_dir, cfg.edge_target.value,
-                           cfg.image_size)
+    disks = {t: TargetDiskCache(cfg.cache_dir, t.value, cfg.image_size)
+             for t in ensemble}
     train_target_bits: dict = {}
 
-    def lookup(idx) -> np.ndarray | None:
-        bits = train_target_bits.get(int(idx))
+    def lookup(target, idx) -> np.ndarray | None:
+        bits = train_target_bits.get((target, int(idx)))
         if bits is None:
-            bits = disk.load(train_paths[int(idx)])
+            bits = disks[target].load(train_paths[int(idx)])
             if bits is not None:
-                train_target_bits[int(idx)] = bits
+                train_target_bits[(target, int(idx))] = bits
         return bits
 
-    def train_targets(indices, images):
+    def train_targets(indices, images, target):
         missing = [j for j, idx in enumerate(indices)
-                   if lookup(idx) is None]
+                   if lookup(target, idx) is None]
         if missing:  # any miss: compute the whole batch, cache new entries
-            targets = jax.device_get(targets_fn(images))
+            targets = jax.device_get(targets_fn(images, target))
             for j in missing:
                 bits = pack(targets[j, :, :, :2])
-                train_target_bits[int(indices[j])] = bits
-                disk.store(train_paths[int(indices[j])], bits)
+                train_target_bits[(target, int(indices[j]))] = bits
+                disks[target].store(train_paths[int(indices[j])], bits)
             return jnp.asarray(targets)
-        costs = np.stack([unpack(train_target_bits[int(idx)])
+        costs = np.stack([unpack(train_target_bits[(target, int(idx))])
                           for idx in indices])
         costs = costs * masks_np[None]
         return jnp.asarray(np.concatenate(
@@ -227,7 +237,8 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
         for batch_count, (images, indices) in enumerate(
                 train_data.epoch(epoch), 1):
             images = jnp.asarray(images)
-            targets = train_targets(indices, images)
+            ext = ensemble[(epoch * 7919 + batch_count) % len(ensemble)]
+            targets = train_targets(indices, images, ext)
             if mesh is not None:
                 images, targets = shard_batch(mesh, (images, targets))
             state, aux, train_m = step_fn(state, images, targets)

@@ -84,6 +84,22 @@ def test_pretrain_then_reinforce(tmp_path, tiny_dataset):
                for r in records)
 
 
+def test_pretrain_target_ensemble(tmp_path, tiny_dataset):
+    """cfg.pretrain.target_ensemble cycles the four classical extractors per
+    batch (config.py rationale: BCE is linear in the target, so cycling
+    binary targets optimizes the soft 4-way-mean objective) and keys the
+    target caches per extractor."""
+    from image_compression_tpu.train.pretrain import run_pretraining
+
+    train, val = tiny_dataset
+    cfg = tiny_cfg(tmp_path, train, val)
+    cfg.pretrain.target_ensemble = True
+    state, _ = run_pretraining(cfg, use_mesh=False, log=lambda *_: None)
+    assert int(state.step) == 2
+    cache_files = list((tmp_path / "cache" / "targets").glob("*.bits"))
+    assert len(cache_files) == 8  # 2 batches x 4 imgs, distinct extractors
+
+
 def test_target_cache_survives_restart(tmp_path, tiny_dataset):
     """Disk-backed target cache: a second driver invocation must hit disk
     instead of recomputing targets (VERDICT round-1 item 9)."""
