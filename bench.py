@@ -317,6 +317,47 @@ def main():
         full_round(pool)                # steady-state warm-up round
         full_rate = batch_head / full_round(pool)
 
+    # real-corpus e2e row (VERDICT r3 next #8): the same overlapped
+    # pipeline on actual corpus images instead of synthetic kron noise, so
+    # the e2e headline and the achieved-compression numbers come from the
+    # same kind of workload. Caps are workload-derived from the corpus
+    # warmup labels (the production setting). Skipped when the corpus
+    # hasn't been generated (datasets/ is untracked; benchmarks/make_corpus.py).
+    corpus_rate = corpus_slices = None
+    corpus_dir = REPO / "datasets" / "val"
+    if corpus_dir.is_dir():
+        from image_compression_tpu.io.image_io import (
+            find_image_files_recursively, load_image, to_float01_rgb)
+        cpaths = find_image_files_recursively(corpus_dir, "png")[:batch_head]
+        if len(cpaths) == batch_head:
+            corpus_u8 = np.stack([np.asarray(load_image(p)) for p in cpaths])
+            corpus_f = jnp.asarray(
+                np.stack([to_float01_rgb(im) for im in corpus_u8]))
+            clabels, chb, cvb = segment_program(params_trained, corpus_f)
+            clabels_np = np.asarray(clabels).astype(np.int64)
+            corpus_slices = float(np.mean(
+                [len(np.unique(l)) for l in clabels_np]))
+            corpus_step = make_compress_step(
+                make_estimate_program(derive_class_caps(clabels_np)))
+
+            def corpus_round(pool, n_iters=5):
+                t0 = time.perf_counter()
+                fut = pool.submit(fetch, corpus_step(params_trained,
+                                                     corpus_f))
+                for i in range(n_iters):
+                    nxt = corpus_step(params_trained, corpus_f + 0.0001 * i)
+                    hb, vb, _ = fut.result()
+                    fut = pool.submit(fetch, nxt)
+                    for b in range(batch_head):
+                        write_slices_from_conn(corpus_u8[b], hb[b], vb[b],
+                                               staging, f"c{i}_{b}")
+                fut.result()
+                return (time.perf_counter() - t0) / (n_iters + 1)
+
+            with ThreadPoolExecutor(1) as pool:
+                corpus_round(pool)      # steady-state warm-up round
+                corpus_rate = batch_head / corpus_round(pool)
+
     shutil.rmtree(staging, ignore_errors=True)
     print(json.dumps({
         "metric": "compress_e2e_images_per_sec_256px_trained",
@@ -340,6 +381,10 @@ def main():
         "host_slice_ms_per_img": round(host_ms_per_img, 2),
         "label_fetch_conn_ms_per_img": round(fetch_conn_ms_per_img, 3),
         "label_fetch_u16_ms_per_img": round(fetch_u16_ms_per_img, 3),
+        "e2e_corpus_images_per_sec": (round(corpus_rate, 2)
+                                      if corpus_rate else None),
+        "slices_per_img_corpus": (round(corpus_slices, 1)
+                                  if corpus_slices else None),
         "estimator_class_caps_trained": list(caps_by_workload["trained"]),
         "estimator_class_caps_random": list(
             caps_by_workload["random_weights"]),

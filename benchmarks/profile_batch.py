@@ -91,6 +91,26 @@ def main():
                       f"[1x wall {times[1]*1000:7.1f} ms = "
                       f"{times[1]/b*1000:6.3f} ms/img]", flush=True)
 
+    if "chunked" in sections:
+        # Round-4 candidate for the b128 scaling gap (NOTES_R3 #6): if the
+        # large-batch slowdown is working-set pressure (every level's
+        # one-hot/rank temporaries live for all 128 images at once under
+        # vmap), serializing the batch into lax.map chunks should recover
+        # the small-batch marginal at the cost of chunk-count sequencing.
+        b = batches[-1]
+        costs = costs_by_b[b]
+        base = variants["pixel"]
+        print(f"\n-- batch-chunked pixel path, b={b} --", flush=True)
+        m_full, _ = marginal(chain_solve(base), costs)
+        print(f"chunk=none: {m_full/b*1000:6.3f} ms/img marginal", flush=True)
+        for chunk in (8, 16, 32, 64):
+            def solve(c, chunk=chunk):
+                r = c.reshape(b // chunk, chunk, *c.shape[1:])
+                return jax.lax.map(base, r).reshape(b, size, size)
+            m, _ = marginal(chain_solve(solve), costs)
+            print(f"chunk={chunk:4d}: {m/b*1000:6.3f} ms/img marginal",
+                  flush=True)
+
     if "levels" not in sections:
         return
 
