@@ -182,7 +182,10 @@ def main():
                 labels = fallback_single_slice(
                     batch, labels, cfg_default.fallback_margin,
                     k_max=cfg_default.reward.max_segments,
-                    entropy_correction=cfg_default.reward.entropy_correction)
+                    entropy_correction=cfg_default.reward.entropy_correction,
+                    literal_hist=cfg_default.reward.literal_hist,
+                    orig_sizes=jnp.asarray(
+                        orig_bytes[i:i + args.batch], jnp.float32))
             est, _k = predict_totals(batch, labels)
             predicted += float(jnp.sum(est))
             labels = np.asarray(labels)

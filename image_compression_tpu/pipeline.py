@@ -72,7 +72,9 @@ def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
 def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
                           margin: float, k_max: int = 64,
                           entropy_correction: str = "none",
-                          literal_hist: str = "all") -> jnp.ndarray:
+                          literal_hist: str = "all",
+                          orig_sizes: jnp.ndarray | None = None
+                          ) -> jnp.ndarray:
     """Per-image single-slice fallback: keep a segmentation only when the
     on-device size model predicts its slices total BELOW margin x the whole
     image as one slice; otherwise zero the labels (one full-canvas slice —
@@ -105,12 +107,20 @@ def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
     # gradient/noise probes (tests/test_fallback.py). The real RGB-write
     # saving (~15% on incompressible content) makes margin=1.0 mildly
     # conservative toward slicing; bench_compression measures the net.
+    #
+    # With orig_sizes (the source files' on-disk bytes), the passthrough
+    # gap is priced EXPLICITLY: a fallen-back image costs the ORIGINAL
+    # bytes verbatim (write_passthrough), which can undercut the
+    # whole-image re-encode model (e.g. sources encoded at a higher zlib
+    # level), so the slicing must beat min(est_whole, original).
+    if orig_sizes is not None:
+        est_whole = jnp.minimum(est_whole, orig_sizes.astype(jnp.float32))
     keep = est_sliced < margin * est_whole
     return jnp.where(keep[:, None, None], labels, 0)
 
 
 def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
-                   cfg: Config) -> jnp.ndarray:
+                   cfg: Config, orig_sizes=None) -> jnp.ndarray:
     """Dispatch the device half of compress for one batch; returns the
     (asynchronous) labels array — fetching it waits for this batch only."""
     batch = jnp.asarray(np.stack([to_float01_rgb(im) for im in images_u8]))
@@ -128,7 +138,9 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
             batch, labels, cfg.fallback_margin,
             k_max=cfg.reward.max_segments,
             entropy_correction=cfg.reward.entropy_correction,
-            literal_hist=cfg.reward.literal_hist)
+            literal_hist=cfg.reward.literal_hist,
+            orig_sizes=(jnp.asarray(orig_sizes, jnp.float32)
+                        if orig_sizes is not None else None))
     return labels
 
 
@@ -145,8 +157,8 @@ def _pack_wire(labels: jnp.ndarray):
 
 
 def _device_wire(images_u8: list[np.ndarray], cost_fn: Callable,
-                 cfg: Config):
-    return _pack_wire(_device_labels(images_u8, cost_fn, cfg))
+                 cfg: Config, orig_sizes=None):
+    return _pack_wire(_device_labels(images_u8, cost_fn, cfg, orig_sizes))
 
 
 def write_passthrough(src_path: str | pathlib.Path,
@@ -281,7 +293,10 @@ def compress_directory(cfg: Config, params=None, limit: int | None = None,
                 imgs = [load_image(p) for p in chunk]
                 pad = (batch_size - len(chunk)
                        if len(group) > batch_size else 0)
-                wire = _device_wire(imgs + imgs[-1:] * pad, cost_fn, cfg)
+                sizes = [p.stat().st_size for p in chunk]
+                sizes += sizes[-1:] * pad
+                wire = _device_wire(imgs + imgs[-1:] * pad, cost_fn, cfg,
+                                    orig_sizes=sizes)
                 fut = pool.submit(
                     lambda w=wire: jax.tree.map(np.asarray, w))
                 names = [p.stem for p in chunk] + [None] * pad
