@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--margin", type=float,
                     help="override cfg.fallback_margin for the fallback "
                          "rows (margin sweep)")
+    ap.add_argument("--classical-target", default="canny",
+                    help="extractor for the classical rows (canny|graph|"
+                         "slic|watershed). graph is the mixed-corpus demo "
+                         "path: Canny's cut-on-either-endpoint contract "
+                         "isolates every edge pixel into a singleton slice "
+                         "(canny_edge.cpp:80), which no mosaic win survives")
     ap.add_argument("--gt-labels",
                     help="directory of ground-truth partition .npy files "
                          "(benchmarks/make_mixed_corpus.py layout); adds a "
@@ -107,9 +113,11 @@ def main():
             return est.sum() + surplus * (9.308622 + 1.0), stats.num_segments
         return jax.vmap(one)(to_rgba_u8(images_f01), labels)
 
-    canny_fn = lambda b: classical_costs_signed(b, EdgeTarget.CANNY)  # noqa
-    modes = [("classical_canny", canny_fn, False),
-             ("classical_canny_fallback", canny_fn, True)]
+    ctarget = EdgeTarget(args.classical_target)
+    canny_fn = lambda b: classical_costs_signed(b, ctarget)  # noqa: E731
+    cname = f"classical_{ctarget.value}"
+    modes = [(cname, canny_fn, False),
+             (f"{cname}_fallback", canny_fn, True)]
     if params is not None:
         learned_fn = lambda b: learned_costs(model, params, b)  # noqa: E731
         modes += [("learned_ckpt", learned_fn, False),
