@@ -47,6 +47,9 @@ class RewardConfig:
     #   literals from a histogram that excludes match-covered bytes, the
     #   way DEFLATE's literal code actually sees them (measured: fixes a
     #   36% whole-image underpricing on mixed flat|noise content).
+    fallback_reward_clip: float = 0.25  # fallback_aware loss-tail clip:
+    #   R = max((est_whole - est_sliced)/size, -clip). See ops/rewards.py
+    #   for the measured collapse the clip prevents.
     fallback_aware: bool = False  # RL reward prices each image at the
     #   product's fallback decision min(est_sliced, est_whole) instead of
     #   the always-slice cost, and drops the single-segment penalty

@@ -100,7 +100,8 @@ def estimated_total_sizes_batched(images_f01: jnp.ndarray,
                                     "b_match_token", "gamma", "overhead_base",
                                     "adaptive_filter", "lam", "fast",
                                     "minlabel", "entropy_correction",
-                                    "literal_hist", "fallback_aware"))
+                                    "literal_hist", "fallback_aware",
+                                    "fallback_reward_clip"))
 def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             image_sizes_b: jnp.ndarray, *, k_max: int = 64,
                             min_pixels: int = 1, l_min: int = 4,
@@ -113,7 +114,9 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             minlabel: bool = False,
                             entropy_correction: str = "none",
                             literal_hist: str = "all",
-                            fallback_aware: bool = False) -> jnp.ndarray:
+                            fallback_aware: bool = False,
+                            fallback_reward_clip: float = 0.25
+                            ) -> jnp.ndarray:
     """images [B, H, W, 3] float [0,1]; labels [B, H, W] int; sizes [B]
     (on-disk byte counts). Returns rewards [B] float32. Defaults mirror
     compute_rewards.cuh:5-17.
@@ -161,7 +164,16 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                 adaptive_filter=adaptive_filter, fast=fast,
                 minlabel=minlabel, entropy_correction=entropy_correction,
                 literal_hist=literal_hist)
-            return (est_whole - total_est) / size
+            # loss-tail clip: a slicing can lose by MANY file-sizes
+            # (oversegmentation prices hundreds of container overheads)
+            # while wins cap near +0.1, and the unclipped heavy tail
+            # collapsed a 50-epoch run from eval +0.021 to -22 by epoch 11
+            # (whitened advantages become tail-dominated;
+            # artifacts/metrics_r4_rl_fbdiff_unclipped.jsonl). Everything
+            # below "lost by fallback_reward_clip of the file" ranks
+            # equally hopeless.
+            return jnp.maximum((est_whole - total_est) / size,
+                               -fallback_reward_clip)
         penalty = (k_valid == 1).astype(jnp.float32)
         gain = (size - total_est) / size
         return gain - lam * penalty

@@ -212,6 +212,7 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
             entropy_correction=rw.entropy_correction,
             literal_hist=rw.literal_hist,
             fallback_aware=rw.fallback_aware,
+            fallback_reward_clip=rw.fallback_reward_clip,
             minlabel=produces_minlabel(height, width, mc.mode,
                                        mc.icm_sweeps))
         return w, rewards
@@ -333,6 +334,7 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
             entropy_correction=rw.entropy_correction,
             literal_hist=rw.literal_hist,
             fallback_aware=rw.fallback_aware,
+            fallback_reward_clip=rw.fallback_reward_clip,
             minlabel=produces_minlabel(height, width, mc.mode,
                                        mc.icm_sweeps))
 
