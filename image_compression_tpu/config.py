@@ -33,28 +33,36 @@ class RewardConfig:
     beta: float = 0.012167
     b_match_token: float = 18.0
     gamma: float = 0.1
-    overhead_base: float = 9.308622
+    overhead_base: float = 68.0  # product default: the real PNG container
+    #   floor (8 signature + 25 IHDR + ~23 IDAT framing + 12 IEND bytes).
+    #   The reference's fitted 9.308622 (compute_rewards.cuh:14) under-
+    #   prices every slice by ~59 bytes, which at 40+ slices/img biased the
+    #   fallback toward keeping losers; the estimator FUNCTION defaults and
+    #   the oracle tests keep the reference constant.
     adaptive_filter: bool = True
     lambda_single_segment: float = 0.5
-    entropy_correction: str = "none"  # "none" = reference-parity plug-in
-    #   entropy (png_size_estimator.cu:281-309); "miller_madow" adds the
+    entropy_correction: str = "miller_madow"  # product default: the
     #   first-order small-sample bias term per histogram
     #   (ops/png_estimator.py) — the plug-in estimate under-prices tiny
     #   crops (round-3 calibration measured pred/real 0.90 on the
-    #   always-slice learned path).
-    literal_hist: str = "all"  # "all" = reference-parity histogram over
-    #   every bbox byte (png_size_estimator.cu:365-392); "nonmatch" prices
-    #   literals from a histogram that excludes match-covered bytes, the
-    #   way DEFLATE's literal code actually sees them (measured: fixes a
-    #   36% whole-image underpricing on mixed flat|noise content).
+    #   always-slice learned path). "none" = reference-parity plug-in
+    #   entropy (png_size_estimator.cu:281-309; the function defaults and
+    #   the oracle tests stay on it).
+    literal_hist: str = "nonmatch"  # product default: price literals from
+    #   a histogram that excludes match-covered bytes, the way DEFLATE's
+    #   literal code actually sees them (measured: fixes a 2.5x whole-image
+    #   underpricing on mixed flat|noise content — BENCHMARKS.md round-4
+    #   calibration table; that mispricing made the round-3 fallback reject
+    #   every real slicing win). "all" = reference-parity histogram over
+    #   every bbox byte (png_size_estimator.cu:365-392).
     fallback_reward_clip: float = 0.25  # fallback_aware loss-tail clip:
     #   R = max((est_whole - est_sliced)/size, -clip). See ops/rewards.py
     #   for the measured collapse the clip prevents.
-    fallback_aware: bool = False  # RL reward prices each image at the
-    #   product's fallback decision min(est_sliced, est_whole) instead of
-    #   the always-slice cost, and drops the single-segment penalty
-    #   (ops/rewards.py::compute_rewards_batched). Divergence from
-    #   training.cpp:174 gated off by default.
+    fallback_aware: bool = False  # RL reward becomes the policy's graded
+    #   advantage over the product's single-slice option,
+    #   max((est_whole - est_sliced)/size, -clip), and drops the
+    #   single-segment penalty (ops/rewards.py::compute_rewards_batched).
+    #   Divergence from training.cpp:174 gated off by default.
     # TPU-specific: static cap on distinct segments per image for the
     # vectorized estimator (reference loops over dynamic K instead,
     # compute_rewards.cu:159-180). Segments beyond the cap are merged into
@@ -153,6 +161,15 @@ class RLConfig:
     #   results — the multicut solve dominates the step, so extra policy
     #   epochs are nearly free. K=1 reproduces the REINFORCE gradient.
     ppo_clip: float = 0.2         # per-edge ratio clip window (1 +- clip)
+    whiten: bool = True           # standardize advantages by the batch std
+    #   (training.cpp:180, reference parity). Turn OFF for the
+    #   fallback-aware reward: est_whole already removes per-image
+    #   difficulty, so the residual signal is tiny (+-0.05) and dividing
+    #   by its std amplifies SAMPLING noise to unit scale — measured: a
+    #   whitened run walked its eval from +0.020 to -0.035 within one
+    #   epoch and plateaued there (metrics_r4_rl_fbclip_whiten.jsonl).
+    #   Unwhitened advantages keep the gradient proportional to the real
+    #   byte stakes.
 
 
 @dataclasses.dataclass
@@ -178,14 +195,17 @@ class Config:
     #   (compute_rewards.cu:182-192; pipeline.py::fallback_single_slice).
     #   Product divergence: the reference always slices and measurably
     #   expands natural images (compress.cpp:93-153; BENCHMARKS.md).
-    fallback_margin: float = 0.9  # keep iff est_sliced < margin * est_whole.
-    #   0.9 is measured, not tuned by eye: the estimator under-prices
-    #   slices (small-sample entropy bias on tiny crops) while the
-    #   fallback's real cost is the ORIGINAL file (passthrough copies its
-    #   bytes), ~10% below the estimator's whole-image re-encode model.
-    #   128-image sweep (benchmarks/bench_compression.py --margin):
-    #   margin 1.0 -> out/orig 1.058 (canny) / 1.122 (learned);
-    #   margin 0.9 -> 1.0014 / 1.0192 (BENCHMARKS.md).
+    fallback_margin: float = 1.0  # keep iff est_sliced < margin *
+    #   min(est_whole, original bytes). Round 3 needed a global 0.9 fudge
+    #   because the parity estimator under-priced small crops
+    #   (small-sample entropy bias) and the fallback's real cost is the
+    #   ORIGINAL file, not the re-encode model. Round 4 removes both
+    #   causes at the source: the calibrated estimator profile above
+    #   (miller_madow + nonmatch + real container overhead) fixes the
+    #   bias per histogram, and the passthrough is priced explicitly
+    #   (pipeline.py::fallback_single_slice orig_sizes), so the margin
+    #   returns to the decision-theoretic 1.0. Measured:
+    #   benchmarks/bench_compression.py, BENCHMARKS.md round-4 table.
 
     reward: RewardConfig = dataclasses.field(default_factory=RewardConfig)
     multicut: MulticutConfig = dataclasses.field(default_factory=MulticutConfig)

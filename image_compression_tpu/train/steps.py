@@ -242,9 +242,11 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
             value_params = optax.apply_updates(value_params, vupd)
             # advantage uses the PRE-update prediction (standard actor-critic
             # ordering); stop_gradient: the policy must not shape V
-            adv = whitened_advantage(rewards, jax.lax.stop_gradient(v))
+            adv = (whitened_advantage(rewards, jax.lax.stop_gradient(v))
+                   if r.whiten else rewards - jax.lax.stop_gradient(v))
         else:
-            adv = whitened_advantage(rewards, baseline)
+            adv = (whitened_advantage(rewards, baseline) if r.whiten
+                   else rewards - baseline)
 
         # The gradient is identical to differentiating through the sampled
         # forward: loss depends on params only through logp/entropy of the
