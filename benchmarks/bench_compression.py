@@ -99,18 +99,28 @@ def main():
 
     k_max = args.k_max
 
+    rw = Config().reward
+
     @jax.jit
     def predict_totals(images_f01, labels):
         """Estimator's predicted per-image output bytes (slices only; the
         estimator does not model metadata.bin), same surplus lower bound as
-        the reward (ops/rewards.py)."""
+        the reward (ops/rewards.py). Uses the PRODUCT estimator profile
+        (entropy_correction + literal_hist + overhead_base from RewardConfig)
+        so the calibration column measures the same model the fallback
+        decision runs on — an earlier revision passed only
+        entropy_correction and silently reported the parity profile's
+        numbers (pred/real ~0.75) next to calibrated-profile decisions."""
         def one(img, lab):
             stats = segment_stats(lab, k_max)
             est = estimate_segment_png_sizes_fast(
                 img, stats.inverse, stats.counts, stats.bboxes, stats.valid,
-                entropy_correction=Config().reward.entropy_correction)
+                overhead_base=rw.overhead_base,
+                entropy_correction=rw.entropy_correction,
+                literal_hist=rw.literal_hist)
             surplus = jnp.maximum(stats.num_segments - k_max, 0)
-            return est.sum() + surplus * (9.308622 + 1.0), stats.num_segments
+            return (est.sum() + surplus * (rw.overhead_base + 1.0),
+                    stats.num_segments)
         return jax.vmap(one)(to_rgba_u8(images_f01), labels)
 
     ctarget = EdgeTarget(args.classical_target)
