@@ -73,7 +73,8 @@ def cmd_pretrain(args):
     cfg = _load_config(args)
     if args.epochs:
         cfg.pretrain.epochs = args.epochs
-    _state, run_id = run_pretraining(cfg, resume=args.resume)
+    _state, run_id = run_pretraining(cfg, resume=args.resume,
+                                     init_params=args.init_params)
     print(f"pretraining done, run id {run_id}")
 
 
@@ -130,6 +131,9 @@ def main(argv=None):
     _add_config_arg(p)
     p.add_argument("--epochs", type=int)
     p.add_argument("--resume", help="checkpoint path to continue from")
+    p.add_argument("--init-params", help="params-only checkpoint to "
+                   "warm-start from (domain fine-tuning; optimizer state "
+                   "and step start fresh)")
     p.set_defaults(fn=cmd_pretrain)
 
     p = sub.add_parser("train", help="REINFORCE phase (training.cpp)")

@@ -71,8 +71,15 @@ class TargetDiskCache:
 
 
 def run_pretraining(cfg: Config, use_mesh: bool = True,
-                    log=print, resume: str | None = None) -> tuple:
+                    log=print, resume: str | None = None,
+                    init_params: str | None = None) -> tuple:
     """Returns (final TrainState, run_id).
+
+    init_params: path to a params-only checkpoint (save_params layout) to
+    WARM-START from — params are loaded, optimizer state and step start
+    fresh. This is domain fine-tuning (e.g. a naturals-pretrained policy
+    onto the mixed deployment corpus), distinct from `resume`, which
+    restores the full TrainState mid-run.
 
     resume: path to a prior run's checkpoint (params + optimizer state +
     step, train/checkpoint.py) — training continues at the epoch implied by
@@ -107,6 +114,11 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
     sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
     state = init_train_state(model, tx, jax.random.PRNGKey(0), sample)
     start_epoch = 1
+    if init_params is not None:
+        from image_compression_tpu.train.checkpoint import load_params
+        params = load_params(init_params, template=state.params)
+        state = state._replace(params=params)
+        log(f"warm-started params from {init_params}")
     if resume is not None:
         state = CheckpointManager.restore_path(resume, state)
         steps_per_epoch = max(len(train_paths) // p.batch_size, 1)

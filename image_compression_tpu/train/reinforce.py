@@ -114,6 +114,7 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
     steps_per_epoch = max(len(train_paths) // r.batch_size, 1)
     start_epoch = int(state.step) // steps_per_epoch
     n_evals = 0
+    best_eval = -float("inf")
 
     for epoch in range(start_epoch, r.epochs):
         for batch_count, (images, sizes) in enumerate(
@@ -150,6 +151,16 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
                 # evals; keep the metric cadence but checkpoint sparsely
                 if n_evals % 5 == 0:
                     ckpt.save("latest", state)
+                # best-on-eval params (pretrain.py keeps a "best" too;
+                # the reference only checkpoints on a fixed cadence,
+                # training.cpp:230). RL on the low-variance fallback-aware
+                # reward can drift AWAY from a good start (measured:
+                # metrics_r4_rl_*.jsonl all decline from epoch 0), so the
+                # retained artifact must be the best policy seen, not the
+                # last one.
+                if eval_r > best_eval:
+                    best_eval = eval_r
+                    ckpt.save("best", state)
 
     ckpt.save("final", state)
     return state, ckpt.run_id
