@@ -117,7 +117,8 @@ def main():
                 img, stats.inverse, stats.counts, stats.bboxes, stats.valid,
                 overhead_base=rw.overhead_base,
                 entropy_correction=rw.entropy_correction,
-                literal_hist=rw.literal_hist)
+                literal_hist=rw.literal_hist,
+                distance_window=rw.distance_window)
             surplus = jnp.maximum(stats.num_segments - k_max, 0)
             return (est.sum() + surplus * (rw.overhead_base + 1.0),
                     stats.num_segments)
@@ -202,6 +203,8 @@ def main():
                     k_max=cfg_default.reward.max_segments,
                     entropy_correction=cfg_default.reward.entropy_correction,
                     literal_hist=cfg_default.reward.literal_hist,
+                    overhead_base=cfg_default.reward.overhead_base,
+                    distance_window=cfg_default.reward.distance_window,
                     orig_sizes=jnp.asarray(
                         orig_bytes[i:i + args.batch], jnp.float32))
             est, _k = predict_totals(batch, labels)

@@ -58,7 +58,9 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
                       beta: float, b_match_token: float, gamma: float,
                       overhead_base: float, adaptive_filter: bool,
                       entropy_correction: str = "none",
-                      literal_hist: str = "all"):
+                      literal_hist: str = "all",
+                      distance_window: int = 0,
+                      max_period: int = 96):
     """Estimated PNG size of segment k. img_u8 [H, W, C] int32 (0..255),
     inverse [H, W] compact labels.
 
@@ -178,6 +180,53 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
     match_count = jnp.sum((is_start & longrun).astype(jnp.int32))
     match_len_sum = match_symbols  # reference accumulates run_len into both
 
+    # --- LZ-window distance term (calibration mode, round 5) --------------
+    # The reference's run proxy prices match TOKENS but not match
+    # REACHABILITY (png_size_estimator.cu:397-463 detects only distance-1
+    # runs): content whose residual rows repeat with vertical period p is a
+    # chain of near-free LZ77 matches at stream distance p*(w*C+1) — but
+    # only when that distance fits zlib's window (32768 bytes). Slicing
+    # shrinks the stream row and RESTORES reachability; this is the largest
+    # real headroom class measured in round 4 (79% on-disk win,
+    # BENCHMARKS.md headroom table) and it was invisible to the parity
+    # model, so the fallback rejected it. distance_window > 0 (the zlib
+    # window size) enables the term; 0 keeps reference parity at zero cost.
+    #
+    # Detection: integer row signatures (two independent weighted sums with
+    # int32 wraparound — equal rows hash equal, unequal rows collide with
+    # ~2^-64 probability) compared at every period p = 1..max_period, gated
+    # by p*(w*C+1) <= distance_window at the SEGMENT's own stream geometry
+    # (+1: each PNG stream row carries a filter-id byte). A matched row's
+    # not-already-run-covered bytes join the match statistics as
+    # ceil(bytes/258)-token matches (DEFLATE's max match length), and in
+    # literal_hist="nonmatch" mode they leave the literal histogram — the
+    # same treatment run-covered bytes get.
+    matched_rows = jnp.zeros((height,), bool)
+    if distance_window:
+        cols = jnp.arange(n_cols, dtype=jnp.int32)
+        wgt1 = cols * 1103515245 + 12345
+        wgt2 = cols * 214013 + 2531011
+        masked_res = jnp.where(in_stream, res, 0).astype(jnp.int32)
+        sig1 = jnp.sum(masked_res * wgt1[None, :], axis=1)
+        sig2 = jnp.sum(masked_res * wgt2[None, :], axis=1)
+        ys_row = jnp.arange(height, dtype=jnp.int32)
+        stream_row_bytes = w * channels + 1
+        for p in range(1, max_period + 1):
+            if p >= height:
+                break
+            reach = (p * stream_row_bytes) <= distance_window
+            eq = jnp.concatenate([
+                jnp.zeros((p,), bool),
+                (sig1[p:] == sig1[:-p]) & (sig2[p:] == sig2[:-p])])
+            ok_rows = (ys_row >= y0 + p) & (ys_row <= y1)
+            matched_rows = matched_rows | (eq & ok_rows & reach)
+        row_new = jnp.sum((in_stream & ~longrun).astype(jnp.int32), axis=1)
+        psyms = jnp.sum(jnp.where(matched_rows, row_new, 0))
+        ptokens = jnp.sum(jnp.where(matched_rows, (row_new + 257) // 258, 0))
+        match_symbols = match_symbols + psyms
+        match_count = match_count + ptokens
+        match_len_sum = match_len_sum + psyms
+
     # --- entropy from per-channel histograms over the bbox ----------------
     # one-hot einsum instead of a segment_sum (the scatter-add lowers to a
     # serialized per-element update on TPU), factored by nibbles: bin
@@ -201,7 +250,7 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
         # the noise bytes — measured 36% whole-image underpricing on a
         # noise|flat composite. DEFLATE prices literals with a code built
         # from literal occurrences only; this mode mirrors that.
-        hist_mask2 = in_bbox2 & ~longrun
+        hist_mask2 = in_bbox2 & ~longrun & ~matched_rows[:, None]
     elif literal_hist == "all":
         hist_mask2 = in_bbox2
     else:
@@ -261,7 +310,8 @@ def _segment_size_one(img_u8: jnp.ndarray, inverse: jnp.ndarray, k,
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
                                     "adaptive_filter", "chunk",
-                                    "entropy_correction", "literal_hist"))
+                                    "entropy_correction", "literal_hist",
+                                    "distance_window", "max_period"))
 def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                counts: jnp.ndarray, bboxes: jnp.ndarray,
                                valid: jnp.ndarray, *, min_pixels: int = 1,
@@ -272,6 +322,8 @@ def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                adaptive_filter: bool = True,
                                entropy_correction: str = "none",
                                literal_hist: str = "all",
+                               distance_window: int = 0,
+                               max_period: int = 96,
                                chunk: int = 8) -> jnp.ndarray:
     """Estimated PNG sizes for all segment slots of one image.
 
@@ -290,7 +342,8 @@ def estimate_segment_png_sizes(img_u8: jnp.ndarray, inverse: jnp.ndarray,
         _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
         overhead_base=overhead_base, adaptive_filter=adaptive_filter,
-        entropy_correction=entropy_correction, literal_hist=literal_hist)
+        entropy_correction=entropy_correction, literal_hist=literal_hist,
+        distance_window=distance_window, max_period=max_period)
     vfn = jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))
 
     if k_max % chunk != 0 or k_max == chunk:
@@ -335,8 +388,8 @@ def _classify_and_pack(bboxes, valid, class_sizes, caps, k_max):
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
                                     "adaptive_filter", "class_caps",
-                                    "entropy_correction",
-                                    "literal_hist"))
+                                    "entropy_correction", "literal_hist",
+                                    "distance_window", "max_period"))
 def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                     counts: jnp.ndarray, bboxes: jnp.ndarray,
                                     valid: jnp.ndarray, *,
@@ -348,6 +401,8 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                                     adaptive_filter: bool = True,
                                     entropy_correction: str = "none",
                                     literal_hist: str = "all",
+                                    distance_window: int = 0,
+                                    max_period: int = 96,
                                     class_caps: tuple | None = None
                                     ) -> jnp.ndarray:
     """Size-bucketed estimator: identical math to estimate_segment_png_sizes,
@@ -400,7 +455,8 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
         _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
         overhead_base=overhead_base, adaptive_filter=adaptive_filter,
-        entropy_correction=entropy_correction, literal_hist=literal_hist)
+        entropy_correction=entropy_correction, literal_hist=literal_hist,
+        distance_window=distance_window, max_period=max_period)
 
     sizes = jnp.zeros((k_max,), jnp.float32)
     slot_ids = jnp.arange(k_max, dtype=jnp.int32)
@@ -446,8 +502,8 @@ def estimate_segment_png_sizes_fast(img_u8: jnp.ndarray, inverse: jnp.ndarray,
                    static_argnames=("min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
                                     "adaptive_filter", "class_caps",
-                                    "entropy_correction",
-                                    "literal_hist"))
+                                    "entropy_correction", "literal_hist",
+                                    "distance_window", "max_period"))
 def estimate_segment_png_sizes_packed(imgs_u8: jnp.ndarray,
                                       inverse: jnp.ndarray,
                                       counts: jnp.ndarray,
@@ -461,7 +517,9 @@ def estimate_segment_png_sizes_packed(imgs_u8: jnp.ndarray,
                                       overhead_base: float = 9.308622,
                                       adaptive_filter: bool = True,
                                       entropy_correction: str = "none",
-                                      literal_hist: str = "all"
+                                      literal_hist: str = "all",
+                                      distance_window: int = 0,
+                                      max_period: int = 96
                                       ) -> jnp.ndarray:
     """Batch-packed estimator: `estimate_segment_png_sizes_fast` with the
     crop-class slot caps shared across the WHOLE BATCH instead of per image.
@@ -506,7 +564,8 @@ def estimate_segment_png_sizes_packed(imgs_u8: jnp.ndarray,
         _segment_size_one, min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
         overhead_base=overhead_base, adaptive_filter=adaptive_filter,
-        entropy_correction=entropy_correction, literal_hist=literal_hist)
+        entropy_correction=entropy_correction, literal_hist=literal_hist,
+        distance_window=distance_window, max_period=max_period)
 
     sizes = jnp.zeros((n_flat,), jnp.float32)
     for c, (crop_h, crop_w) in enumerate(class_crops):

@@ -39,7 +39,7 @@ def to_rgba_u8(images_f01: jnp.ndarray) -> jnp.ndarray:
 def _total_est_one(img_rgba, labels, *, k_max, min_pixels, l_min, beta,
                    b_match_token, gamma, overhead_base, adaptive_filter,
                    fast, minlabel, entropy_correction="none",
-                   literal_hist="all"):
+                   literal_hist="all", distance_window=0):
     """Per-image estimated total slice bytes + count of valid segments."""
     estimator = (estimate_segment_png_sizes_fast if fast
                  else estimate_segment_png_sizes)
@@ -50,7 +50,8 @@ def _total_est_one(img_rgba, labels, *, k_max, min_pixels, l_min, beta,
         min_pixels=min_pixels, l_min=l_min, beta=beta,
         b_match_token=b_match_token, gamma=gamma,
         overhead_base=overhead_base, adaptive_filter=adaptive_filter,
-        entropy_correction=entropy_correction, literal_hist=literal_hist)
+        entropy_correction=entropy_correction, literal_hist=literal_hist,
+        distance_window=distance_window)
     # Segments beyond k_max were merged into the last compact slot by
     # segment_stats, so their pixels ARE estimated (as one pseudo
     # segment) but their per-slice container overheads are not. The
@@ -68,7 +69,8 @@ def _total_est_one(img_rgba, labels, *, k_max, min_pixels, l_min, beta,
                    static_argnames=("k_max", "min_pixels", "l_min", "beta",
                                     "b_match_token", "gamma", "overhead_base",
                                     "adaptive_filter", "fast", "minlabel",
-                                    "entropy_correction", "literal_hist"))
+                                    "entropy_correction", "literal_hist",
+                                    "distance_window"))
 def estimated_total_sizes_batched(images_f01: jnp.ndarray,
                                   labels_bhw: jnp.ndarray, *, k_max: int = 64,
                                   min_pixels: int = 1, l_min: int = 4,
@@ -80,7 +82,8 @@ def estimated_total_sizes_batched(images_f01: jnp.ndarray,
                                   fast: bool = True,
                                   minlabel: bool = False,
                                   entropy_correction: str = "none",
-                                  literal_hist: str = "all") -> jnp.ndarray:
+                                  literal_hist: str = "all",
+                                  distance_window: int = 0) -> jnp.ndarray:
     """Estimated TOTAL compressed bytes of all slices per image: the
     sum the reward subtracts (compute_rewards.cu:159-180), exposed for
     callers that need the raw size model — e.g. the compress pipeline's
@@ -90,7 +93,7 @@ def estimated_total_sizes_batched(images_f01: jnp.ndarray,
         beta=beta, b_match_token=b_match_token, gamma=gamma,
         overhead_base=overhead_base, adaptive_filter=adaptive_filter,
         fast=fast, minlabel=minlabel, entropy_correction=entropy_correction,
-        literal_hist=literal_hist)
+        literal_hist=literal_hist, distance_window=distance_window)
     return jax.vmap(lambda img, lab: one(img, lab)[0])(
         to_rgba_u8(images_f01), labels_bhw)
 
@@ -101,7 +104,8 @@ def estimated_total_sizes_batched(images_f01: jnp.ndarray,
                                     "adaptive_filter", "lam", "fast",
                                     "minlabel", "entropy_correction",
                                     "literal_hist", "fallback_aware",
-                                    "fallback_reward_clip"))
+                                    "fallback_reward_clip",
+                                    "distance_window"))
 def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             image_sizes_b: jnp.ndarray, *, k_max: int = 64,
                             min_pixels: int = 1, l_min: int = 4,
@@ -115,7 +119,8 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                             entropy_correction: str = "none",
                             literal_hist: str = "all",
                             fallback_aware: bool = False,
-                            fallback_reward_clip: float = 0.25
+                            fallback_reward_clip: float = 0.25,
+                            distance_window: int = 0
                             ) -> jnp.ndarray:
     """images [B, H, W, 3] float [0,1]; labels [B, H, W] int; sizes [B]
     (on-disk byte counts). Returns rewards [B] float32. Defaults mirror
@@ -152,7 +157,8 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
             beta=beta, b_match_token=b_match_token, gamma=gamma,
             overhead_base=overhead_base, adaptive_filter=adaptive_filter,
             fast=fast, minlabel=minlabel,
-            entropy_correction=entropy_correction, literal_hist=literal_hist)
+            entropy_correction=entropy_correction, literal_hist=literal_hist,
+            distance_window=distance_window)
         if fallback_aware:
             # the all-zeros labeling is its own minlabel form (one region
             # whose smallest pixel index is 0), so minlabel stats apply
@@ -163,7 +169,7 @@ def compute_rewards_batched(images_f01: jnp.ndarray, labels_bhw: jnp.ndarray,
                 overhead_base=overhead_base,
                 adaptive_filter=adaptive_filter, fast=fast,
                 minlabel=minlabel, entropy_correction=entropy_correction,
-                literal_hist=literal_hist)
+                literal_hist=literal_hist, distance_window=distance_window)
             # loss-tail clip: a slicing can lose by MANY file-sizes
             # (oversegmentation prices hundreds of container overheads)
             # while wins cap near +0.1, and the unclipped heavy tail

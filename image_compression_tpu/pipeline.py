@@ -68,11 +68,14 @@ def segment_batch(costs_bhw2: jnp.ndarray, mode: str = "random_mate",
 
 
 @functools.partial(jax.jit, static_argnames=("k_max", "entropy_correction",
-                                             "literal_hist"))
+                                             "literal_hist", "overhead_base",
+                                             "distance_window"))
 def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
                           margin: float, k_max: int = 64,
                           entropy_correction: str = "none",
                           literal_hist: str = "all",
+                          overhead_base: float = 9.308622,
+                          distance_window: int = 0,
                           orig_sizes: jnp.ndarray | None = None
                           ) -> jnp.ndarray:
     """Per-image single-slice fallback: keep a segmentation only when the
@@ -92,12 +95,21 @@ def fallback_single_slice(images_f01: jnp.ndarray, labels: jnp.ndarray,
     minlabel stats apply to both sides: multicut_grid emits smallest-
     pixel-index labels, and the all-zeros labeling is its own minlabel
     form (one region whose smallest pixel index is 0).
+
+    The full calibrated estimator profile is threaded through — including
+    overhead_base, which the whole-vs-sliced inequality is most sensitive
+    to (est_sliced carries K per-slice container floors vs est_whole's
+    one); an earlier revision left it at the reference's fitted 9.31
+    (compute_rewards.cuh:14) while the RL reward and calibration column
+    priced 68, so the decision under-charged every extra slice ~59 bytes.
     """
     est_sliced = estimated_total_sizes_batched(
         images_f01, labels, k_max=k_max, minlabel=True,
+        overhead_base=overhead_base, distance_window=distance_window,
         entropy_correction=entropy_correction, literal_hist=literal_hist)
     est_whole = estimated_total_sizes_batched(
         images_f01, jnp.zeros_like(labels), k_max=k_max, minlabel=True,
+        overhead_base=overhead_base, distance_window=distance_window,
         entropy_correction=entropy_correction, literal_hist=literal_hist)
     # Both sides price RGBA deliberately. The fallback slice is actually
     # written as RGB (full-bbox opaque -> color type 2, io/slicer.py), but
@@ -139,6 +151,8 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
             k_max=cfg.reward.max_segments,
             entropy_correction=cfg.reward.entropy_correction,
             literal_hist=cfg.reward.literal_hist,
+            overhead_base=cfg.reward.overhead_base,
+            distance_window=cfg.reward.distance_window,
             orig_sizes=(jnp.asarray(orig_sizes, jnp.float32)
                         if orig_sizes is not None else None))
     return labels

@@ -115,6 +115,12 @@ def run_pretraining(cfg: Config, use_mesh: bool = True,
     state = init_train_state(model, tx, jax.random.PRNGKey(0), sample)
     start_epoch = 1
     if init_params is not None:
+        if resume is not None:
+            # resume restores the FULL state below, which would silently
+            # discard the warm start — make the conflict loud instead
+            raise ValueError("--init-params and --resume are mutually "
+                             "exclusive: resume restores full state and "
+                             "would discard the warm-started params")
         from image_compression_tpu.train.checkpoint import load_params
         params = load_params(init_params, template=state.params)
         state = state._replace(params=params)

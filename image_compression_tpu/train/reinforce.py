@@ -16,7 +16,8 @@ from image_compression_tpu.io.image_io import find_image_files_recursively
 from image_compression_tpu.models.unet import EdgeUNet
 from image_compression_tpu.parallel.mesh import (make_mesh, replicate,
                                                  shard_batch)
-from image_compression_tpu.train.checkpoint import CheckpointManager
+from image_compression_tpu.train.checkpoint import (CheckpointManager,
+                                                    save_params)
 from image_compression_tpu.train.data import ImageBatches
 from image_compression_tpu.train.metrics import MetricsLogger
 from image_compression_tpu.train.steps import (init_rl_state,
@@ -154,13 +155,18 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
                 # best-on-eval params (pretrain.py keeps a "best" too;
                 # the reference only checkpoints on a fixed cadence,
                 # training.cpp:230). RL on the low-variance fallback-aware
-                # reward can drift AWAY from a good start (measured:
-                # metrics_r4_rl_*.jsonl all decline from epoch 0), so the
-                # retained artifact must be the best policy seen, not the
-                # last one.
+                # reward can drift AWAY from a good start (measured: the
+                # fbmin, fbdiff_unclipped, fbclip_whiten and fbnw_lr1e4
+                # runs all decline from epoch 0 —
+                # artifacts/metrics_r4_rl_{...}.jsonl), so the retained
+                # artifact must be the best policy seen, not the last one.
+                # Params-only save: on a near-monotone curve "best" fires
+                # on ~half the evals, and a full-state save each time would
+                # defeat the sparse-checkpoint rationale above; the best
+                # artifact is for deployment/eval, which needs no opt state.
                 if eval_r > best_eval:
                     best_eval = eval_r
-                    ckpt.save("best", state)
+                    save_params(ckpt._path("best_params"), state.params)
 
     ckpt.save("final", state)
     return state, ckpt.run_id

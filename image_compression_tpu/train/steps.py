@@ -211,6 +211,7 @@ def make_rl_step(model: EdgeUNet, tx: optax.GradientTransformation,
             lam=rw.lambda_single_segment,
             entropy_correction=rw.entropy_correction,
             literal_hist=rw.literal_hist,
+            distance_window=rw.distance_window,
             fallback_aware=rw.fallback_aware,
             fallback_reward_clip=rw.fallback_reward_clip,
             minlabel=produces_minlabel(height, width, mc.mode,
@@ -335,6 +336,7 @@ def make_rl_eval(model: EdgeUNet, cfg: Config):
             lam=rw.lambda_single_segment,
             entropy_correction=rw.entropy_correction,
             literal_hist=rw.literal_hist,
+            distance_window=rw.distance_window,
             fallback_aware=rw.fallback_aware,
             fallback_reward_clip=rw.fallback_reward_clip,
             minlabel=produces_minlabel(height, width, mc.mode,

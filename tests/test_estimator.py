@@ -33,7 +33,8 @@ def paeth(a, b, c):
 
 def oracle_segment_size(img_u8, labels, k, x0, y0, x1, y1,
                         adaptive_filter=True, entropy_correction="none",
-                        literal_hist="all"):
+                        literal_hist="all", distance_window=0,
+                        max_period=96):
     """Scalar-loop transcription of the masked estimator
     (png_size_estimator.cu:60-463) with exact (unchunked) run stats."""
     h = y1 - y0 + 1
@@ -96,13 +97,40 @@ def oracle_segment_size(img_u8, labels, k, x0, y0, x1, y1,
                 covered[i - run:i] = True
             run = 1
 
+    # LZ-window distance term: exact row equality at vertical period p,
+    # gated by reachability p*(w*C+1) <= window (ops/png_estimator.py uses
+    # integer row signatures; equal rows hash equal, so exact comparison IS
+    # the ground truth it approximates)
+    row_bytes = w * channels
+    row_matched = np.zeros(h, bool)
+    psyms = ptokens = 0
+    if distance_window:
+        rows = stream.reshape(h, row_bytes)
+        for ry in range(h):
+            for p in range(1, min(max_period, ry) + 1):
+                if p * (row_bytes + 1) > distance_window:
+                    continue
+                if (rows[ry] == rows[ry - p]).all():
+                    row_matched[ry] = True
+                    break
+        cov_rows = covered.reshape(h, row_bytes)
+        for ry in range(h):
+            if row_matched[ry]:
+                new = int((~cov_rows[ry]).sum())
+                psyms += new
+                ptokens += -(-new // 258)  # ceil
+        ms += psyms
+        mc += ptokens
+
     # entropy (literal_hist="nonmatch": histogram only the bytes DEFLATE's
-    # literal code sees, i.e. positions not covered by a long run)
+    # literal code sees, i.e. positions not covered by a long run or by a
+    # period-matched row)
     hbar = 0.0
     for c in range(channels):
         keep = (np.arange(n) % channels == c)
         if literal_hist == "nonmatch":
             keep &= ~covered
+            keep &= ~np.repeat(row_matched, row_bytes)
         vals = stream[keep]
         hist = np.bincount(vals, minlength=256)
         n_ch = vals.size if literal_hist == "nonmatch" else w * h
@@ -123,12 +151,14 @@ def oracle_segment_size(img_u8, labels, k, x0, y0, x1, y1,
 
 
 def run_jax_estimator(img_u8, labels, k_max=8, adaptive_filter=True,
-                      entropy_correction="none", literal_hist="all"):
+                      entropy_correction="none", literal_hist="all",
+                      distance_window=0):
     stats = segment_stats(jnp.asarray(labels), k_max)
     sizes = estimate_segment_png_sizes(
         jnp.asarray(img_u8), stats.inverse, stats.counts, stats.bboxes,
         stats.valid, adaptive_filter=adaptive_filter,
-        entropy_correction=entropy_correction, literal_hist=literal_hist)
+        entropy_correction=entropy_correction, literal_hist=literal_hist,
+        distance_window=distance_window)
     return np.asarray(sizes), stats
 
 
@@ -191,6 +221,88 @@ def test_matches_oracle_nonmatch_literals(seed):
                                        literal_hist="nonmatch")
         np.testing.assert_allclose(sizes[slot], expected, rtol=1e-4,
                                    err_msg=f"segment {slot}")
+
+
+@pytest.mark.parametrize("window", [120, 400, 32768])
+@pytest.mark.parametrize("literal", ["all", "nonmatch"])
+def test_matches_oracle_distance_window(window, literal):
+    """LZ-window distance term (round 5): vertical-period row matches gated
+    by p*(w*C+1) <= window match the oracle's exact-row-equality semantics.
+    Content: per-segment noise whose rows repeat with period 3 — reachable
+    at w*C+1 = 41 per row for window >= 123 only."""
+    rng = np.random.default_rng(7)
+    block = rng.integers(0, 256, (3, 10, 4), np.uint8)
+    img = np.tile(block, (5, 1, 1))        # 15 x 10, vertical period 3
+    img[-2:] = rng.integers(0, 256, (2, 10, 4), np.uint8)  # break the tail
+    labels = np.zeros((15, 10), np.int64)
+    labels[9:] = 1                          # split mid-period
+    sizes, stats = run_jax_estimator(img, labels, distance_window=window,
+                                     literal_hist=literal)
+    sizes_par, _ = run_jax_estimator(img, labels, literal_hist=literal)
+    bboxes = np.asarray(stats.bboxes)
+    for slot in range(int(stats.num_segments)):
+        x0, y0, x1, y1 = bboxes[slot]
+        expected = oracle_segment_size(img, np.asarray(stats.inverse), slot,
+                                       x0, y0, x1, y1,
+                                       distance_window=window,
+                                       literal_hist=literal)
+        np.testing.assert_allclose(sizes[slot], expected, rtol=1e-4,
+                                   err_msg=f"segment {slot} window {window}")
+        # matches only ever cheapen the stream vs the literal-only parity
+        # price (noise literals cost ~8 bits; matched rows ~0.17)
+        assert sizes[slot] <= sizes_par[slot] + 1e-3
+    # below the reachability threshold the term must be inert
+    if window < 123:
+        np.testing.assert_allclose(sizes, sizes_par, rtol=1e-6)
+
+
+def test_distance_window_no_false_matches(rng):
+    """Random (aperiodic) content: the term must change nothing — no hash
+    collisions, no spurious row matches."""
+    img = rng.integers(0, 256, (14, 9, 4), np.uint8)
+    labels = rng.choice([0, 1], size=(14, 9)).astype(np.int64)
+    a, _ = run_jax_estimator(img, labels, distance_window=32768)
+    b, _ = run_jax_estimator(img, labels)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_distance_window_flips_keep_decision():
+    """The mechanism end to end in the size model: period-48 noise strips at
+    full width are OUTSIDE the 32KB window (stream row 193*4+1 = 773 bytes,
+    48*773 = 37k) but INSIDE it per vertical strip (64*4+1 = 257, 48*257 =
+    12k). With distance_window=32768 the model must price the gt slicing
+    well below the whole image — the keep decision the parity model could
+    never make (BENCHMARKS.md round-4 headroom table: 79% real win,
+    'estimator sees it? no')."""
+    rng = np.random.default_rng(3)
+    height, width, period = 128, 192, 48
+    img = np.zeros((height, width, 4), np.uint8)
+    labels = np.zeros((height, width), np.int64)
+    for s in range(3):
+        block = rng.integers(0, 256, (period, 64, 4), np.uint8)
+        col = np.tile(block, (height // period + 1, 1, 1))[:height]
+        img[:, s * 64:(s + 1) * 64] = block[0, 0, 0]  # placate linters
+        img[:, s * 64:(s + 1) * 64] = col
+        labels[:, s * 64:(s + 1) * 64] = s
+    whole = np.zeros_like(labels)
+
+    est_whole_win, _ = run_jax_estimator(img, whole, k_max=4,
+                                         distance_window=32768)
+    est_sliced_win, _ = run_jax_estimator(img, labels, k_max=4,
+                                          distance_window=32768)
+    est_whole_par, _ = run_jax_estimator(img, whole, k_max=4)
+    est_sliced_par, _ = run_jax_estimator(img, labels, k_max=4)
+
+    # parity model: slicing is priced ~at the whole image (same literal
+    # entropy, +2 containers, -small-sample bias — measured within 0.3%:
+    # 98049 vs 98332, no decisive win either way); window model: slicing
+    # recovers the match pricing for the (H-period)/H = 62.5% matched rows
+    # (measured 38832 vs 98332, ratio 0.395)
+    assert est_sliced_par.sum() >= 0.98 * est_whole_par.sum()
+    assert est_sliced_win.sum() < 0.45 * est_whole_win.sum()
+    # the whole image stays literal-priced (unreachable period)
+    np.testing.assert_allclose(est_whole_win.sum(), est_whole_par.sum(),
+                               rtol=1e-5)
 
 
 def test_matches_oracle_structured(rng):
@@ -360,6 +472,45 @@ def test_packed_estimator_matches_flat(rng):
         jnp.asarray(np.stack(cnts)), jnp.asarray(np.stack(bbs)),
         jnp.asarray(np.stack(vals)),
         class_caps=(batch * 16, batch * 16)))  # 64px images: classes (32, 64)
+    np.testing.assert_allclose(packed, np.stack(flats), rtol=1e-5)
+
+
+def test_packed_estimator_matches_flat_calibrated(rng):
+    """VERDICT r4 #8: the batch-packed estimator under the CALIBRATED
+    product profile (miller_madow + nonmatch) equals the flat per-image
+    estimator — the calibrated modes were previously asserted against the
+    oracle only through the flat path."""
+    from image_compression_tpu.ops.png_estimator import (
+        estimate_segment_png_sizes, estimate_segment_png_sizes_packed)
+    from image_compression_tpu.utils.random_partition import (
+        random_rect_partition)
+
+    kw = dict(entropy_correction="miller_madow", literal_hist="nonmatch",
+              overhead_base=68.0)
+    batch = 3
+    imgs, invs, cnts, bbs, vals, flats = [], [], [], [], [], []
+    for b in range(batch):
+        img = rng.integers(0, 256, (64, 64, 4), np.uint8)
+        # half the image flat so long runs exist and the nonmatch
+        # histogram actually diverges from the "all" histogram
+        img[:, :32] = 7
+        labels = random_rect_partition(64, 64, min_h=8, min_w=8,
+                                       min_rect_count=4, seed=20 + b)
+        stats = segment_stats(jnp.asarray(labels), 16)
+        flats.append(np.asarray(estimate_segment_png_sizes(
+            jnp.asarray(img), stats.inverse, stats.counts, stats.bboxes,
+            stats.valid, **kw)))
+        imgs.append(img)
+        invs.append(np.asarray(stats.inverse))
+        cnts.append(np.asarray(stats.counts))
+        bbs.append(np.asarray(stats.bboxes))
+        vals.append(np.asarray(stats.valid))
+
+    packed = np.asarray(estimate_segment_png_sizes_packed(
+        jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(invs)),
+        jnp.asarray(np.stack(cnts)), jnp.asarray(np.stack(bbs)),
+        jnp.asarray(np.stack(vals)),
+        class_caps=(batch * 16, batch * 16), **kw))
     np.testing.assert_allclose(packed, np.stack(flats), rtol=1e-5)
 
 
