@@ -56,6 +56,17 @@ def main():
                          "path: Canny's cut-on-either-endpoint contract "
                          "isolates every edge pixel into a singleton slice "
                          "(canny_edge.cpp:80), which no mosaic win survives")
+    ap.add_argument("--mode-suffix", default="",
+                    help="appended to mode names in reports/per-image logs "
+                         "(disambiguates runs with different --ckpt in one "
+                         "JSONL, e.g. ':r4' vs ':r4rl')")
+    ap.add_argument("--per-image",
+                    help="write per-image (mode, stem, orig_bytes, "
+                         "out_bytes, n_slices) JSONL here — feeds the "
+                         "bootstrap CI over images (benchmarks/"
+                         "bootstrap_ci.py): the RL-vs-pretrain product "
+                         "delta is smaller than plausible per-corpus "
+                         "noise without one (VERDICT r4 weak #4)")
     ap.add_argument("--gt-labels",
                     help="directory of ground-truth partition .npy files "
                          "(benchmarks/make_mixed_corpus.py layout); adds a "
@@ -136,8 +147,18 @@ def main():
 
     if args.modes:
         modes = [m for m in modes if args.modes in m[0]]
+    if args.mode_suffix:
+        modes = [(n + args.mode_suffix, f, fb) for n, f, fb in modes]
 
     report = {}
+    per_image_f = open(args.per_image, "a") if args.per_image else None
+
+    def log_image(mode, stem, orig, out, n_slices):
+        if per_image_f:
+            per_image_f.write(json.dumps(
+                {"mode": mode, "stem": stem, "orig_bytes": orig,
+                 "out_bytes": out, "n_slices": n_slices}) + "\n")
+
     if args.gt_labels:
         # headroom ORACLE: slice at the ground-truth partition and count the
         # real output bytes — proves the corpus has genuine slicing headroom
@@ -156,8 +177,11 @@ def main():
             tag = f"img_{j}"
             write_slices(img, lab, out_root, tag)
             d = out_root / tag
-            out_bytes += dir_bytes(d)
-            n_slices.append(sum(1 for _ in d.glob("slice_*.png")))
+            db = dir_bytes(d)
+            out_bytes += db
+            ns = sum(1 for _ in d.glob("slice_*.png"))
+            n_slices.append(ns)
+            log_image("gt_oracle", p.stem, p.stat().st_size, db, ns)
         shutil.rmtree(out_root, ignore_errors=True)
         covered = [b for p_, b in zip(paths, orig_bytes)
                    if (gt_dir / f"{p_.stem}.npy").exists()]
@@ -226,10 +250,12 @@ def main():
                 else:
                     write_slices(img, lab.astype(np.int64), out_root, tag)
                 d = out_root / tag
-                out_bytes += dir_bytes(d)
+                db = dir_bytes(d)
+                out_bytes += db
                 meta_bytes += (d / "metadata.bin").stat().st_size
-                n_slices.append(
-                    sum(1 for _ in d.glob("slice_*.png")))
+                ns = sum(1 for _ in d.glob("slice_*.png"))
+                n_slices.append(ns)
+                log_image(name, paths[i + j].stem, orig_bytes[i + j], db, ns)
         shutil.rmtree(out_root, ignore_errors=True)
 
         total_orig = sum(orig_bytes)
@@ -253,6 +279,8 @@ def main():
         }
         print(json.dumps({"mode": name, **report[name]}), flush=True)
 
+    if per_image_f:
+        per_image_f.close()
     print(json.dumps({"metric": "achieved_compression", **report}))
 
 

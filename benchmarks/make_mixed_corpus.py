@@ -32,11 +32,17 @@ def main():
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--classes",
+                    help="comma list overriding the default 4-class cycle "
+                         "(names from MOSAIC_GENERATORS, e.g. 'lz_period' "
+                         "for the round-5 LZ-window corpus, or "
+                         "'sigma,anticorr,mixedmos,flatnoise,lz_period' for "
+                         "the 5-class mix)")
     args = ap.parse_args()
 
     from image_compression_tpu.utils.pattern_generator import (
         generate_anticorr_mosaic, generate_flat_noise_composite,
-        generate_mixed_mosaic, generate_sigma_mosaic)
+        generate_lz_period, generate_mixed_mosaic, generate_sigma_mosaic)
 
     out = pathlib.Path(args.out_dir)
     (out / "labels").mkdir(parents=True, exist_ok=True)
@@ -47,25 +53,27 @@ def main():
     # 64/128px cells measured best (32px: 64 slices of overhead eat the
     # win; BENCHMARKS.md round-4 headroom table)
     cells = [64, 128]
+    makers = {
+        "sigma": lambda rng, c: generate_sigma_mosaic(size, size, rng,
+                                                      cell=c),
+        "anticorr": lambda rng, c: generate_anticorr_mosaic(size, size, rng,
+                                                            cell=c),
+        "mixedmos": lambda rng, c: generate_mixed_mosaic(size, size, rng,
+                                                         cell=c),
+        "flatnoise": lambda rng, c: generate_flat_noise_composite(size, size,
+                                                                  rng),
+        "lz_period": lambda rng, c: generate_lz_period(size, size, rng),
+    }
+    cycle = (args.classes.split(",") if args.classes
+             else ["sigma", "anticorr", "mixedmos", "flatnoise"])
+    unknown = set(cycle) - set(makers)
+    if unknown:
+        raise SystemExit(f"unknown classes: {unknown}")
     recipes = []
     for i in range(args.n):
-        r = i % 4
-        c = cells[(i // 4) % len(cells)]
-        if r == 0:
-            recipes.append(("sigma", lambda rng, c=c: generate_sigma_mosaic(
-                size, size, rng, cell=c)))
-        elif r == 1:
-            recipes.append(("anticorr",
-                            lambda rng, c=c: generate_anticorr_mosaic(
-                                size, size, rng, cell=c)))
-        elif r == 2:
-            recipes.append(("mixedmos",
-                            lambda rng, c=c: generate_mixed_mosaic(
-                                size, size, rng, cell=c)))
-        else:
-            recipes.append(("flatnoise",
-                            lambda rng: generate_flat_noise_composite(
-                                size, size, rng)))
+        tag = cycle[i % len(cycle)]
+        c = cells[(i // len(cycle)) % len(cells)]
+        recipes.append((tag, lambda rng, tag=tag, c=c: makers[tag](rng, c)))
 
     counts: dict[str, int] = {}
     for i, (tag, fn) in enumerate(recipes):

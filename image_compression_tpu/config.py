@@ -55,16 +55,19 @@ class RewardConfig:
     #   calibration table; that mispricing made the round-3 fallback reject
     #   every real slicing win). "all" = reference-parity histogram over
     #   every bbox byte (png_size_estimator.cu:365-392).
-    distance_window: int = 0  # LZ-window distance term (round 5): > 0 (the
-    #   zlib window, 32768) adds vertical-period row matches to the size
-    #   model, gated by whether the match distance p*(w*C+1) fits the
-    #   window at the segment's own stream geometry — slicing shrinks the
-    #   stream row and restores reachability, the largest real headroom
-    #   class measured in round 4 (79% on-disk win, invisible to the parity
-    #   model; BENCHMARKS.md headroom table). 0 = reference parity
-    #   (png_size_estimator.cu:397-463 detects only distance-1 runs), zero
-    #   cost. See ops/png_estimator.py; default decided by the round-5
-    #   calibration measurement.
+    distance_window: int = 32768  # product default: LZ-window distance term
+    #   (round 5) at zlib's real window. Adds vertical-period row matches
+    #   to the size model, gated by whether the match distance p*(w*C+1)
+    #   fits the window at the segment's own stream geometry — slicing
+    #   shrinks the stream row and restores reachability, the largest real
+    #   headroom class measured in round 4 (79% on-disk win, invisible to
+    #   the parity model; BENCHMARKS.md headroom table). The term also
+    #   correctly cheapens the WHOLE-image side of short-period tiled
+    #   content zlib already matches, so the fallback declines slicings
+    #   that only looked like wins under literal pricing. 0 = reference
+    #   parity (png_size_estimator.cu:397-463 detects only distance-1
+    #   runs), zero cost. Oracle-tested (tests/test_estimator.py); measured
+    #   keep-flip on the lzwin corpus (BENCHMARKS.md round 5).
     fallback_reward_clip: float = 0.25  # fallback_aware loss-tail clip:
     #   R = max((est_whole - est_sliced)/size, -clip). See ops/rewards.py
     #   for the measured collapse the clip prevents.

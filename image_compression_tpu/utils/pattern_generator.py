@@ -249,11 +249,96 @@ def generate_flat_noise_composite(width: int, height: int,
     return img, lab
 
 
+def generate_lz_period(width: int, height: int, rng: np.random.Generator,
+                       n_strips: int = 3, periods=(48, 64, 80),
+                       sigma: float = 10.0, means=(60, 130, 200)
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """LZ-window fragmentation class (round-4 headroom table's 79% row,
+    round-5 estimator target): vertical strips of noise whose rows repeat
+    exactly with per-strip vertical period p. In the FULL image the match
+    source is p full rows away — p*(3*width+1) stream bytes, outside zlib's
+    32768-byte window for p >= 48 at width >= 228 — so DEFLATE codes
+    literals at the noise entropy. Each SLICED strip has rows of
+    3*(width/n_strips)+1 bytes, putting the same match within the window:
+    near-free length-258 matches. Distinct per-strip periods keep the whole
+    image aperiodic as a unit; per-strip mean steps give extractors a
+    luminance boundary to find while sigma stays below Canny's hysteresis
+    trigger (interiors edge-free, like generate_sigma_mosaic). Returns
+    (image [H,W,3] u8, labels [H,W] int64 — one label per strip)."""
+    img = np.zeros((height, width, 3), np.uint8)
+    lab = np.zeros((height, width), np.int64)
+    edges = np.linspace(0, width, n_strips + 1).astype(int)
+    for s in range(n_strips):
+        x0, x1 = edges[s], edges[s + 1]
+        p = periods[s % len(periods)]
+        m = means[s % len(means)]
+        block = np.clip(rng.normal(m, sigma, (p, x1 - x0, 3)),
+                        0, 255).astype(np.uint8)
+        img[:, x0:x1] = np.tile(block, (height // p + 1, 1, 1))[:height]
+        lab[:, x0:x1] = s
+    return img, lab
+
+
+def generate_photo_mosaic(width: int, height: int, photos: list,
+                          rng: np.random.Generator, cell: int = 128
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Mosaic whose cells are crops of REAL photographs (round-5 external
+    validity: the reference's premise is compound images of real content,
+    readme.md:40-53, and every previous winnable corpus image was
+    synthesized by this module). Each cell takes a random crop from a
+    DIFFERENT randomly drawn source photo, so statistically distinct real
+    regions interleave horizontally — the same per-block Huffman mixture
+    mechanism as the synthetic mosaics (see the module comment above),
+    with pixel statistics this repo did not author. Returns (image
+    [H,W,3] u8, labels [H,W] int64 — one label per cell)."""
+    img = np.zeros((height, width, 3), np.uint8)
+    lab = np.zeros((height, width), np.int64)
+    k = 0
+    order = rng.permutation(len(photos))
+    for y in range(0, height, cell):
+        for x in range(0, width, cell):
+            src = photos[order[k % len(photos)]]
+            ch = min(cell, height - y)
+            cw = min(cell, width - x)
+            sy = int(rng.integers(0, max(src.shape[0] - ch, 0) + 1))
+            sx = int(rng.integers(0, max(src.shape[1] - cw, 0) + 1))
+            img[y:y + ch, x:x + cw] = src[sy:sy + ch, sx:sx + cw, :3]
+            lab[y:y + ch, x:x + cw] = k
+            k += 1
+    return img, lab
+
+
+def generate_photo_collage(width: int, height: int, photos: list,
+                           rng: np.random.Generator, n_panels: int = 3
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Photo-on-flat collage: real photo rectangles pasted on a flat
+    background (document/presentation-style compound image, the reference's
+    motivating case, readme.md:40-53). The background is near-free under
+    DEFLATE either way; the win, if any, comes from separating the panels'
+    distinct statistics from each other and the flat surround."""
+    img = np.full((height, width, 3), int(rng.integers(200, 245)), np.uint8)
+    lab = np.zeros((height, width), np.int64)
+    order = rng.permutation(len(photos))
+    for i in range(n_panels):
+        src = photos[order[i % len(photos)]]
+        ph = int(rng.integers(height // 4, height // 2))
+        pw = int(rng.integers(width // 4, width // 2))
+        ph, pw = min(ph, src.shape[0]), min(pw, src.shape[1])
+        y0 = int(rng.integers(0, height - ph + 1))
+        x0 = int(rng.integers(0, width - pw + 1))
+        sy = int(rng.integers(0, src.shape[0] - ph + 1))
+        sx = int(rng.integers(0, src.shape[1] - pw + 1))
+        img[y0:y0 + ph, x0:x0 + pw] = src[sy:sy + ph, sx:sx + pw, :3]
+        lab[y0:y0 + ph, x0:x0 + pw] = i + 1
+    return img, lab
+
+
 MOSAIC_GENERATORS = {
     "sigma_mosaic": generate_sigma_mosaic,
     "anticorr_mosaic": generate_anticorr_mosaic,
     "mixed_mosaic": generate_mixed_mosaic,
     "flat_noise": generate_flat_noise_composite,
+    "lz_period": generate_lz_period,
 }
 
 
