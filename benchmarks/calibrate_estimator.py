@@ -34,6 +34,11 @@ PROFILES = {
     "parity": {},
     "calibrated": dict(entropy_correction="miller_madow",
                        literal_hist="nonmatch", overhead_base=68.0),
+    # the SHIPPED round-5 profile: calibrated + the LZ-window distance term
+    # (config.py RewardConfig defaults)
+    "product": dict(entropy_correction="miller_madow",
+                    literal_hist="nonmatch", overhead_base=68.0,
+                    distance_window=32768),
 }
 
 
