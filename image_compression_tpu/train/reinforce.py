@@ -130,7 +130,12 @@ def run_reinforce(cfg: Config, pretrained_params, use_mesh: bool = True,
                 log(f"interrupted: checkpointed to {path}")
                 return state, ckpt.run_id
 
-            if batch_count % r.eval_every == 0:
+            # stride capped at the epoch length: batch_count resets per
+            # epoch, so a large batch_size (few steps/epoch) would
+            # otherwise never reach eval_every and the run would finish
+            # with NO evals and NO best checkpoint (hit by the round-5
+            # batch-32 run: 32 steps/epoch vs eval_every=100)
+            if batch_count % min(r.eval_every, steps_per_epoch) == 0:
                 n_evals += 1
                 eval_r = run_eval()
                 record = {"phase": "rl", "epoch": epoch, "step": batch_count,

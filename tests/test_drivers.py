@@ -163,6 +163,32 @@ def test_reinforce_variants(tmp_path, tiny_dataset, variant):
         assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
 
 
+def test_reinforce_evals_when_epoch_shorter_than_eval_every(tmp_path,
+                                                            tiny_dataset):
+    """Regression (round 5): batch_count resets per epoch, so a run whose
+    epoch has fewer steps than eval_every used to finish with NO evals and
+    NO best checkpoint (the batch-32 run: 32 steps/epoch vs eval_every
+    100). The stride is capped at steps_per_epoch — at least one eval per
+    epoch, always."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_compression_tpu.models.unet import EdgeUNet
+    from image_compression_tpu.train.reinforce import run_reinforce
+
+    train, val = tiny_dataset
+    cfg = tiny_cfg(tmp_path, train, val)
+    cfg.rl.eval_every = 1000  # far beyond the 2 steps this epoch has
+    model = EdgeUNet()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3), jnp.float32))
+    logs = []
+    run_reinforce(cfg, params, use_mesh=False, log=logs.append)
+    assert any("Eval reward" in ln for ln in logs)
+    jsonls = list((tmp_path / "results").glob("metrics_*.jsonl"))
+    assert jsonls and jsonls[0].stat().st_size > 0
+
+
 def test_pretrain_resume_continues_from_checkpoint(tmp_path, tiny_dataset):
     """Preemption recovery: a resumed run restores params + optimizer +
     step and skips the epochs the checkpoint already finished."""
