@@ -56,6 +56,10 @@ def main():
                          "path: Canny's cut-on-either-endpoint contract "
                          "isolates every edge pixel into a singleton slice "
                          "(canny_edge.cpp:80), which no mosaic win survives")
+    ap.add_argument("--merge-rounds", type=int, default=0,
+                    help="estimator-guided merge refinement rounds between "
+                         "the solver and the fallback "
+                         "(ops/merge_refine.py; cfg.merge_refine_rounds)")
     ap.add_argument("--mode-suffix", default="",
                     help="appended to mode names in reports/per-image logs "
                          "(disambiguates runs with different --ckpt in one "
@@ -212,6 +216,17 @@ def main():
                                    icm_sweeps=mc.icm_sweeps,
                                    hier_rounds=tuple(mc.hier_rounds),
                                    hier_caps=mc.hier_caps)
+            if args.merge_rounds:
+                from image_compression_tpu.ops.merge_refine import \
+                    merge_refine_batch
+                rw_ = Config().reward
+                labels = merge_refine_batch(
+                    batch, labels, k_max=rw_.max_segments,
+                    rounds=args.merge_rounds,
+                    overhead_base=rw_.overhead_base,
+                    entropy_correction=rw_.entropy_correction,
+                    literal_hist=rw_.literal_hist,
+                    distance_window=rw_.distance_window)
             # bbox-side histogram from the PRE-fallback labels: evidence for
             # the estimator's workload-derived class caps (class_caps,
             # VERDICT #8) — these are the segments the estimator actually

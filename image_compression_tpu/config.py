@@ -208,6 +208,16 @@ class Config:
     #   (compute_rewards.cu:182-192; pipeline.py::fallback_single_slice).
     #   Product divergence: the reference always slices and measurably
     #   expands natural images (compress.cpp:93-153; BENCHMARKS.md).
+    merge_refine_rounds: int = 0  # estimator-guided region-merge
+    #   refinement between the solver and the fallback
+    #   (ops/merge_refine.py): per round, adjacent region pairs are
+    #   matched by shared-boundary length and merged when the size model
+    #   prices the union below the parts. Discrete local search on the
+    #   true byte objective — closes the partition-granularity gap the
+    #   RL gradient measurably cannot (BENCHMARKS.md round 5: policies
+    #   emit 2-3x the gt slice count; each surplus slice costs ~68
+    #   container bytes). 0 = off; 2 allows up to 4-way merges. Compress-
+    #   time only (the RL reward never runs it).
     fallback_margin: float = 1.0  # keep iff est_sliced < margin *
     #   min(est_whole, original bytes). Round 3 needed a global 0.9 fudge
     #   because the parity estimator under-priced small crops

@@ -145,6 +145,15 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
                                         if mc.hier_rounds else None),
                            hier_caps=mc.hier_caps, hier_agg=mc.hier_agg,
                            hier_leaf=mc.hier_leaf)
+    if cfg.merge_refine_rounds:
+        from image_compression_tpu.ops.merge_refine import merge_refine_batch
+        labels = merge_refine_batch(
+            batch, labels, k_max=cfg.reward.max_segments,
+            rounds=cfg.merge_refine_rounds,
+            overhead_base=cfg.reward.overhead_base,
+            entropy_correction=cfg.reward.entropy_correction,
+            literal_hist=cfg.reward.literal_hist,
+            distance_window=cfg.reward.distance_window)
     if cfg.compress_fallback:
         labels = fallback_single_slice(
             batch, labels, cfg.fallback_margin,
