@@ -216,17 +216,6 @@ def main():
                                    icm_sweeps=mc.icm_sweeps,
                                    hier_rounds=tuple(mc.hier_rounds),
                                    hier_caps=mc.hier_caps)
-            if args.merge_rounds:
-                from image_compression_tpu.ops.merge_refine import \
-                    merge_refine_batch
-                rw_ = Config().reward
-                labels = merge_refine_batch(
-                    batch, labels, k_max=rw_.max_segments,
-                    rounds=args.merge_rounds,
-                    overhead_base=rw_.overhead_base,
-                    entropy_correction=rw_.entropy_correction,
-                    literal_hist=rw_.literal_hist,
-                    distance_window=rw_.distance_window)
             # bbox-side histogram from the PRE-fallback labels: evidence for
             # the estimator's workload-derived class caps (class_caps,
             # VERDICT #8) — these are the segments the estimator actually
@@ -246,6 +235,20 @@ def main():
                     distance_window=cfg_default.reward.distance_window,
                     orig_sizes=jnp.asarray(
                         orig_bytes[i:i + args.batch], jnp.float32))
+            if args.merge_rounds:
+                # fallback-first ordering (pipeline.py): refinement runs
+                # only on the kept slicings; declined images are all-zero
+                # labels and pass through unchanged
+                from image_compression_tpu.ops.merge_refine import \
+                    merge_refine_batch
+                rw_ = Config().reward
+                labels = merge_refine_batch(
+                    batch, labels, k_max=rw_.max_segments,
+                    rounds=args.merge_rounds,
+                    overhead_base=rw_.overhead_base,
+                    entropy_correction=rw_.entropy_correction,
+                    literal_hist=rw_.literal_hist,
+                    distance_window=rw_.distance_window)
             est, _k = predict_totals(batch, labels)
             predicted += float(jnp.sum(est))
             labels = np.asarray(labels)

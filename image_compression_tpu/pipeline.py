@@ -145,15 +145,6 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
                                         if mc.hier_rounds else None),
                            hier_caps=mc.hier_caps, hier_agg=mc.hier_agg,
                            hier_leaf=mc.hier_leaf)
-    if cfg.merge_refine_rounds:
-        from image_compression_tpu.ops.merge_refine import merge_refine_batch
-        labels = merge_refine_batch(
-            batch, labels, k_max=cfg.reward.max_segments,
-            rounds=cfg.merge_refine_rounds,
-            overhead_base=cfg.reward.overhead_base,
-            entropy_correction=cfg.reward.entropy_correction,
-            literal_hist=cfg.reward.literal_hist,
-            distance_window=cfg.reward.distance_window)
     if cfg.compress_fallback:
         labels = fallback_single_slice(
             batch, labels, cfg.fallback_margin,
@@ -164,6 +155,25 @@ def _device_labels(images_u8: list[np.ndarray], cost_fn: Callable,
             distance_window=cfg.reward.distance_window,
             orig_sizes=(jnp.asarray(orig_sizes, jnp.float32)
                         if orig_sizes is not None else None))
+    # ORDER MATTERS, and it is measured: fallback FIRST, merge refinement
+    # only on the kept slicings (a declined image is all-zero labels = one
+    # region = no adjacent pairs, so the merge pass is a no-op on it).
+    # Merging before the decision lowered est_sliced enough to flip 35
+    # borderline mixed-corpus losers across the orig floor — 32 of them
+    # expanded for real (+233 KB) — while merging after the validated
+    # keep-set saved 78 KB on the kept images with no new keeps
+    # (BENCHMARKS.md round-5 merge section). Merges only ever reduce the
+    # estimate, so kept slicings stay kept and the decision set is
+    # unchanged.
+    if cfg.merge_refine_rounds:
+        from image_compression_tpu.ops.merge_refine import merge_refine_batch
+        labels = merge_refine_batch(
+            batch, labels, k_max=cfg.reward.max_segments,
+            rounds=cfg.merge_refine_rounds,
+            overhead_base=cfg.reward.overhead_base,
+            entropy_correction=cfg.reward.entropy_correction,
+            literal_hist=cfg.reward.literal_hist,
+            distance_window=cfg.reward.distance_window)
     return labels
 
 
