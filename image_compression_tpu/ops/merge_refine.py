@@ -146,10 +146,27 @@ def _merge_round(img_rgba_i32, labels, *, k_max, max_pairs, est_kwargs,
         est_u = estimate_segment_png_sizes_fast(
             img_rgba_i32, inv_pairs, counts_u, bbox_u, accept,
             class_caps=tuple(caps), **est_kwargs)
+        # compactness guard: a union whose bbox blows up relative to the
+        # parts is mostly transparent canvas — a failure mode the size
+        # model's run-priced zeros could under-price. Measured INERT on
+        # both benchmark checkpoints (flagship byte-identical with and
+        # without it), kept as a cheap safety bound. Note what it does
+        # NOT fix: refining the round-5 RL checkpoint's kept slicings
+        # expanded the product 0.9807 -> 1.0157 with COMPACT unions — its
+        # keep-set is simply mispriced (pred/real 0.90 vs the pretrain
+        # checkpoint's 0.96), and search on a mispriced model amplifies
+        # the error. Merge refinement presumes the calibration the
+        # flagship checkpoint measurably has (BENCHMARKS.md round 5).
+        def bbox_area(bb):
+            return ((bb[:, 2] - bb[:, 0] + 1) *
+                    (bb[:, 3] - bb[:, 1] + 1)).astype(jnp.float32)
+        area_u = bbox_area(bbox_u)
+        area_parts = bbox_area(bb[pa]) + bbox_area(bb[pb])
+        compact = area_u <= 1.5 * area_parts
         cand_a.append(pa)
         cand_b.append(pb)
-        cand_save.append(jnp.where(accept, est[pa] + est[pb] - est_u,
-                                   -jnp.inf))
+        cand_save.append(jnp.where(accept & compact,
+                                   est[pa] + est[pb] - est_u, -jnp.inf))
         # exclude this matching's pairs from the next one's scores (slots
         # stay available — only the evaluated PAIRS are consumed)
         hit_a = jnp.zeros((k_max, k_max), bool)
