@@ -208,7 +208,7 @@ class Config:
     #   (compute_rewards.cu:182-192; pipeline.py::fallback_single_slice).
     #   Product divergence: the reference always slices and measurably
     #   expands natural images (compress.cpp:93-153; BENCHMARKS.md).
-    merge_refine_rounds: int = 3  # product default: estimator-guided
+    merge_refine_rounds: int = 2  # product default: estimator-guided
     #   region-merge refinement AFTER the fallback decision
     #   (ops/merge_refine.py): per round, adjacent region pairs are
     #   matched by shared-boundary length and merged when the size model
@@ -216,12 +216,16 @@ class Config:
     #   true byte objective — closes the partition-granularity gap the
     #   RL gradient measurably cannot (BENCHMARKS.md round 5: policies
     #   emit 2-3x the gt slice count; each surplus slice costs ~68
-    #   container bytes). Measured: mixed flagship 0.9731 -> 0.9662 at
-    #   2 rounds (paired CI [-0.0095, -0.0042]) -> 0.9637 at 3 (paired
-    #   [-0.0039, -0.0014]); lzwin 0.353 -> 0.269 (oracle 0.267); no-op
-    #   on fallen-back images (all-zero labels have no pairs), so the
-    #   naturals never-expand guarantee is untouched. Compress-time only
-    #   (the RL reward never runs it).
+    #   container bytes). Rounds sweep, both corpora: mixed flagship
+    #   0.9731 -> 0.9662 at x2 (paired CI [-0.0095, -0.0042]) -> 0.9637
+    #   at x3 (paired [-0.0039, -0.0014]); lzwin 0.353 -> 0.269 at x2
+    #   (oracle 0.267) but 0.281 at x3 — the third round's merges sit
+    #   inside the size model's error margin (its calibration drifts to
+    #   1.8 on the over-merged strips) and lzwin's +1.2pp regression is
+    #   4x mixed's -0.3pp gain, so 2 is the default. No-op on
+    #   fallen-back images (all-zero labels have no pairs): the naturals
+    #   never-expand guarantee is untouched. Compress-time only (the RL
+    #   reward never runs it).
     fallback_margin: float = 1.0  # keep iff est_sliced < margin *
     #   min(est_whole, original bytes). Round 3 needed a global 0.9 fudge
     #   because the parity estimator under-priced small crops
