@@ -77,3 +77,23 @@ def test_distinct_mosaic_cells_not_merged(rng):
         jnp.asarray(img[None]), jnp.asarray(labels[None]), k_max=8,
         rounds=2, max_pairs=4)[0])
     np.testing.assert_array_equal(out, labels)
+
+
+def test_declined_images_are_noop(rng):
+    """Pipeline invariant (ORDER MATTERS, pipeline.py): a fallen-back image
+    reaches the merge pass as all-zero labels — one region, no adjacent
+    pairs — and must come out EXACTLY all-zero, so the naturals
+    never-expand guarantee cannot be disturbed by refinement."""
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    zero = np.zeros((64, 64), np.int32)
+    # batch mixes a declined (all-zero) image with a kept split that merges
+    img2 = np.clip(rng.normal(0.5, 0.03, (64, 64, 3)), 0, 1).astype(
+        np.float32)
+    lab2 = np.zeros((64, 64), np.int32)
+    lab2[:, 32:] = 32
+    out = np.asarray(merge_refine_batch(
+        jnp.asarray(np.stack([img, img2])),
+        jnp.asarray(np.stack([zero, lab2])), k_max=8, rounds=2,
+        max_pairs=4))
+    assert (out[0] == 0).all()
+    assert _nlabels(out[1]) == 1  # the split image merged
